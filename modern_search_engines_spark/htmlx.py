@@ -1,0 +1,282 @@
+"""Pure-stdlib HTML extraction with the reference's bs4 semantics.
+
+Spec-as-code for the extraction stage; shared by the single-node oracle and
+the Spark pandas UDF so extracted text is byte-identical per url by
+construction (the driver invariant, BASELINE.json input_hint).
+
+Reference semantics re-expressed (NOT copied) from
+``/root/reference/backend/core/Document.py:46-96, 143-153, 207-289``:
+
+* strip ``script/style/link/meta`` elements (Document.py:80-81)
+* if a ``<main>`` element exists → ``" ".join(main.stripped_strings)``,
+  else the soup-wide ``get_text()`` concatenation (Document.py:84-88)
+* title = text of the first ``<title>`` (Document.py:68)
+* description = first ``<meta name=description>`` else first
+  ``<meta property=og:description>`` (Document.py:143-153)
+* keywords = every ``<meta name=keywords>``, comma-split, strip+lower
+  (Document.py:283-289)
+* headings h1..h6 → list of ``get_text(strip=True)`` (Document.py:269-275)
+* emphasis groups bold/italic/underline/strike (Document.py:277-281)
+* icon: first link rel ∈ (shortcut icon, icon, apple-touch-icon),
+  absolutized (Document.py:243-255)
+* links: all ``<a href>``; absolute kept, relative joined to the page's
+  base url; de-duplicated (Document.py:207-219)
+* modified date: ``article:modified_time`` ≻ ``article:published_time``
+  meta tags (Document.py:221-241; the Last-Modified *header* source does
+  not exist for a static page table)
+
+bs4 is unavailable in this environment, so the mini-DOM below is built on
+``html.parser.HTMLParser``; entity decoding (convert_charrefs=True) matches
+bs4's html.parser tree builder.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlparse
+
+import dateutil.parser
+
+# HTML void elements: never pushed onto the open-element stack.
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str | None], parent=None):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[object] = []  # Node or str (text)
+        self.parent = parent
+
+    # -- bs4-equivalent accessors ------------------------------------------
+
+    def iter_nodes(self):
+        """Pre-order traversal of element nodes (document order)."""
+        for c in self.children:
+            if isinstance(c, Node):
+                yield c
+                yield from c.iter_nodes()
+
+    def find_all(self, tags) -> list["Node"]:
+        if isinstance(tags, str):
+            tags = (tags,)
+        tagset = set(tags)
+        return [n for n in self.iter_nodes() if n.tag in tagset]
+
+    def find(self, tag: str, attrs: dict[str, str] | None = None):
+        for n in self.iter_nodes():
+            if n.tag == tag and (
+                attrs is None
+                or all(n.attrs.get(k) == v for k, v in attrs.items())
+            ):
+                return n
+        return None
+
+    def strings(self):
+        """All descendant text nodes in document order (bs4 .strings)."""
+        for c in self.children:
+            if isinstance(c, Node):
+                yield from c.strings()
+            else:
+                yield c
+
+    def get_text(self, strip: bool = False) -> str:
+        text = "".join(self.strings())
+        return text.strip() if strip else text
+
+    def stripped_strings(self):
+        for s in self.strings():
+            s = s.strip()
+            if s:
+                yield s
+
+    def decompose_tags(self, tags) -> None:
+        tagset = set(tags)
+        self.children = [
+            c for c in self.children
+            if not (isinstance(c, Node) and c.tag in tagset)
+        ]
+        for c in self.children:
+            if isinstance(c, Node):
+                c.decompose_tags(tagset)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs), self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(Node(tag, dict(attrs), self.stack[-1]))
+
+    def handle_endtag(self, tag):
+        # close the nearest matching open element (html.parser tolerance)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> Node:
+    b = _TreeBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
+
+
+# ---------------------------------------------------------------------------
+# URL helpers (Document.py:182-205)
+# ---------------------------------------------------------------------------
+
+_URL_RE = re.compile(r"^(https?|ftp)://[^\s/$.?#].[^\s]*$", re.IGNORECASE)
+
+
+def is_external(url: str) -> bool:
+    return url.startswith(("www", "http", "https"))
+
+
+def get_base_url(url: str) -> str:
+    p = urlparse(url)
+    return f"{p.scheme}://{p.netloc}"
+
+
+def get_domain(url: str) -> str:
+    return urlparse(url).netloc.replace("www.", "")
+
+
+def is_valid_url(url: str) -> bool:
+    """Deterministic stand-in for Django's URLValidator (Document.py:198-205)."""
+    return bool(_URL_RE.match(url))
+
+
+# ---------------------------------------------------------------------------
+# Extraction (Document.py:66-96)
+# ---------------------------------------------------------------------------
+
+_EMPHASIS_GROUPS = {
+    "bold": ("b", "strong"),
+    "italic": ("i", "em"),
+    "underline": ("u",),
+    "strike": ("s", "strike", "del"),
+}
+
+
+def extract_page(url: str, html: str) -> dict:
+    """Full extraction struct for one page. Field-for-field the reference's
+    ``Document.__fetch_document_content`` (Document.py:66-96) minus the
+    network stages (the input table already carries the html).
+    """
+    root = parse_html(html)
+
+    title_node = root.find("title")
+    title = title_node.get_text() if title_node is not None else ""
+
+    # description (Document.py:143-153)
+    description = ""
+    d = root.find("meta", {"name": "description"})
+    if d is not None and "content" in d.attrs:
+        description = d.attrs["content"] or ""
+    else:
+        og = root.find("meta", {"property": "og:description"})
+        if og is not None and "content" in og.attrs:
+            description = og.attrs["content"] or ""
+
+    # keywords (Document.py:283-289)
+    keywords: list[str] = []
+    for meta in root.find_all("meta"):
+        if meta.attrs.get("name") == "keywords":
+            content = meta.attrs.get("content") or ""
+            keywords.extend(k.strip().lower() for k in content.split(","))
+
+    # modified date (Document.py:221-241, meta-tag sources only)
+    last_modified = None
+    for prop in ("article:modified_time", "article:published_time"):
+        tag = root.find("meta", {"property": prop})
+        if tag is not None and "content" in tag.attrs:
+            try:
+                last_modified = dateutil.parser.parse(tag.attrs["content"])
+            except (ValueError, OverflowError):
+                last_modified = None
+            break
+
+    # icon (Document.py:243-255)
+    icon_url = None
+    for rel in ("shortcut icon", "icon", "apple-touch-icon"):
+        link = root.find("link", {"rel": rel})
+        if link is None or "href" not in link.attrs:
+            continue
+        href = link.attrs["href"] or ""
+        icon_url = href if is_external(href) else urljoin(get_base_url(url), href)
+        break
+
+    # headings (Document.py:269-275)
+    headings = {
+        f"h{level}": [h.get_text(strip=True) for h in root.find_all(f"h{level}")]
+        for level in range(1, 7)
+    }
+
+    # emphasis (Document.py:277-281) — .text.strip() per element
+    text_emphasis = {
+        group: [n.get_text().strip() for n in root.find_all(tags)]
+        for group, tags in _EMPHASIS_GROUPS.items()
+    }
+
+    # links (Document.py:207-219) — set semantics; sorted for determinism
+    hrefs: set[str] = set()
+    for a in root.find_all("a"):
+        href = a.attrs.get("href")
+        if href is None:
+            continue
+        if is_external(href) and is_valid_url(href):
+            hrefs.add(href)
+        else:
+            joined = urljoin(get_base_url(url), href)
+            if is_valid_url(joined):
+                hrefs.add(joined)
+
+    # boilerplate strip + text (Document.py:80-90)
+    root.decompose_tags(("script", "style", "link", "meta"))
+    main = root.find("main")
+    if main is None:
+        text = root.get_text()
+    else:
+        text = " ".join(main.stripped_strings())
+
+    return {
+        "url": url,
+        "title": title,
+        "description": description,
+        "keywords": keywords,
+        "last_modified": last_modified,
+        "icon_url": icon_url,
+        "headings": headings,
+        "text_emphasis": text_emphasis,
+        "links": sorted(hrefs),
+        "text": text,
+    }
+
+
+def extracted_text(html: str) -> str:
+    """Text-only fast path (same semantics as extract_page()['text'])."""
+    root = parse_html(html)
+    root.decompose_tags(("script", "style", "link", "meta"))
+    main = root.find("main")
+    if main is None:
+        return root.get_text()
+    return " ".join(main.stripped_strings())

@@ -1,0 +1,154 @@
+"""Tokenizer / simhash / language goldens (SURVEY.md §5.2)."""
+
+import datetime as dt
+
+import pytest
+
+from modern_search_engines_spark import textlib as T
+
+
+def test_tokenize_basic_ngrams():
+    out = T.tokenize("The Tuebingen castle and museums", 3)
+    assert out == [
+        "tübingen", "castle", "museum",
+        "tübingen castle", "castle museum",
+        "tübingen castle museum",
+    ]
+
+
+def test_tokenize_unigram_only():
+    assert T.tokenize("Fast queries!", 1) == ["fast", "query"]
+
+
+def test_tokenize_stopword_checked_before_lemmatize():
+    # "as" is a stopword and must be dropped on the raw token
+    # (Tokenizer.py:22 checks the un-lemmatized form).
+    assert T.tokenize("as castles", 1) == ["castle"]
+
+
+def test_tokenize_drops_punct_and_underscore():
+    assert T.tokenize("hello, world_x! bridge", 1) == ["hello", "bridge"]
+
+
+def test_tuebingen_normalization_variants():
+    for v in ("tuebingen", "tubingen", "tübinger", "Tübingen"):
+        assert T.tokenize(v, 1) == ["tübingen"], v
+
+
+def test_ngrams_short_input():
+    assert T.ngrams(["a"], 2) == []
+    assert T.ngrams([], 1) == []
+    assert T.ngrams(["a", "b", "c"], 2) == ["a b", "b c"]
+
+
+def test_lemmatizer_rules_and_exceptions():
+    assert T.lemmatize("cities") == "city"
+    assert T.lemmatize("men") == "man"
+    assert T.lemmatize("classes") == "class"
+    assert T.lemmatize("boxes") == "box"
+    assert T.lemmatize("glass") == "glass"   # ss kept
+    assert T.lemmatize("castles") == "castle"
+    assert T.lemmatize("bus") == "bus"       # us kept
+    assert T.lemmatize("is") == "is"
+
+
+def test_query_tokenizer_tuebingen_removed_when_other_terms():
+    out = T.tokenize_query("hotels in tübingen", 1)
+    assert "tübingen" not in out
+    assert "hotel" in out
+
+
+def test_query_tokenizer_tuebingen_kept_when_only_term():
+    # removal fallback (Tokenizer.py:42-47)
+    out = T.tokenize_query("tübingen", 1)
+    assert out == ["tübingen"]
+
+
+def test_query_tokenizer_stopword_only_fallback():
+    # all-stopword query falls back to lemmatize-everything
+    # (Tokenizer.py:48-57)
+    out = T.tokenize_query("the of and", 1)
+    assert out == ["the", "of", "and"]
+
+
+def test_query_tokenizer_synonym_insertion_order():
+    # synonyms inserted at the front-cursor position (Tokenizer.py:59-70
+    # quirk: cursor advances only on insertion)
+    out = T.tokenize_query("castle food", 1)
+    assert out == ["castle", "palace", "nutrient", "food"]
+
+
+def test_query_tokenizer_cap_40():
+    q = " ".join(["castle"] * 50)
+    out = T.tokenize_query(q, 1)
+    assert len(out) == 40
+
+
+def test_ngram_query_weight():
+    import math
+    assert T.ngram_query_weight("a") == pytest.approx(math.exp(0.29 - 0.336))
+    assert T.ngram_query_weight("a b c") == pytest.approx(
+        math.exp(0.29 * 3 - 0.336))
+
+
+def test_simhash_deterministic_and_sensitive():
+    h1 = T.simhash128(["castle", "museum", "castle"])
+    h2 = T.simhash128(["castle", "museum", "castle"])
+    h3 = T.simhash128(["castle", "river"])
+    assert h1 == h2
+    assert h1 != h3
+    assert 0 <= h1 < 1 << 128
+    assert T.simhash128([]) == 0
+
+
+def test_simhash_weight_is_tf_squared():
+    # One token: all md5 bits dominate; duplicates must not change the hash
+    # (weight scales uniformly).
+    assert T.simhash128(["castle"]) == T.simhash128(["castle"] * 3)
+
+
+def test_hamming():
+    assert T.hamming_distance(0b1010, 0b0110) == 2
+    assert T.hamming_distance(5, 5) == 0
+
+
+def test_simhash_to_longs_roundtrip():
+    h = T.simhash128(["castle", "museum"])
+    hi, lo = T.simhash_to_longs(h)
+    back = ((hi & 0xFFFFFFFFFFFFFFFF) << 64) | (lo & 0xFFFFFFFFFFFFFFFF)
+    assert back == h
+
+
+def test_detect_language_en():
+    toks = "the castle is a museum and the river".split()
+    assert T.detect_document_language(toks, None) == "en"
+
+
+def test_detect_language_de_with_boost():
+    toks = "die stadt und der fluss mit dem schloss".split()
+    assert T.detect_document_language(toks, "de-DE") == "de"
+
+
+def test_detect_language_empty_none():
+    assert T.detect_document_language([], None) is None
+
+
+def test_round_gate_bankers():
+    # round(0.5) == 0 in Python — a boosted p_en of exactly 0.5 fails the
+    # reference's gate (Document.py:135). Guard the replicated behaviour.
+    assert round(0.5) == 0 and round(0.51) == 1
+
+
+def test_relevance_predicate():
+    assert T.is_relevant("https://x.example/tuebingen", "en", [])
+    assert T.is_relevant("https://x.example/a", "en", ["tübingen"])
+    assert not T.is_relevant("https://x.example/a", "en", ["castle"])
+    assert not T.is_relevant("https://x.example/tuebingen", "de", [])
+
+
+def test_index_filter_scheme_bug_replicated():
+    # __base_url_relevant checks the URL *scheme* → always False
+    # (DocumentIndex.py:75-77); only the second disjunct matters.
+    assert not T.index_filter("https://tuebingen.example/x", True, ["castle"])
+    assert T.index_filter("https://a.example/x", True, ["tübingen"])
+    assert not T.index_filter("https://a.example/x", False, ["tübingen"])
