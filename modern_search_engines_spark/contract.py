@@ -1,0 +1,553 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB-oracle ANSI-SQL twin run over the
+driver's parquet tables (TESTDATA.md).
+
+Design rules for cross-engine hash equality (the driver compares
+row-count + schema + order-insensitive value hash at sf0.01):
+* every computed column is aliased identically in Spark and SQL;
+* floats are rounded to 6 decimals on BOTH sides (double noise is
+  ~1e-15 relative; 6dp is safely coarse);
+* money aggregates go through DECIMAL(18,4) so sums are exact;
+* rankings order by (rounded score desc, id asc) so ties are stable;
+* whitespace tokenization = split on ' ' + drop empties, identical
+  semantics in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+K1, B = 1.5, 0.75
+BM25_QUERY_TERMS = ("data", "query", "spark")
+STOPWORD_SAMPLE = ("the", "a", "and", "of", "in", "to", "is")
+DE_SAMPLE = ("der", "die", "das", "und", "ist", "mit", "von")
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _tokens_col():
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
+def _tok(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, term) — whitespace tokens, empties dropped."""
+    return _docs(spark, sf).select(
+        "doc_id", F.explode(_tokens_col()).alias("term"))
+
+
+def _tf(spark: SparkSession, sf: str) -> DataFrame:
+    return _tok(spark, sf).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+
+
+def _shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, sh) — distinct word-3-gram shingles per doc."""
+    arr = _tokens_col()
+    sh = F.when(
+        F.size(arr) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 2),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (_docs(spark, sf)
+            .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh")))
+
+
+_TOK_SQL = """
+tok AS (
+    SELECT doc_id, t.term AS term
+    FROM documents, unnest(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS t(term)
+)"""
+
+_SHINGLE_SQL = """
+sh AS (
+    SELECT DISTINCT doc_id, s.sh AS sh
+    FROM (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) >= 3
+                    THEN list_transform(
+                        generate_series(1, len(list_filter(string_split(text,' '), x -> x <> '')) - 2),
+                        i -> array_to_string(
+                            list_slice(list_filter(string_split(text,' '), x -> x <> ''), i, i + 2), ' '))
+                    ELSE [] END AS shs
+        FROM documents
+    ) d, unnest(d.shs) AS s(sh)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Query implementations — Spark
+# ---------------------------------------------------------------------------
+
+def q_doc_tf(spark, sf):
+    """A1: per-(doc,term) term frequency."""
+    return _tf(spark, sf)
+
+
+def q_term_df_idf(spark, sf):
+    """A2+F5: document frequency and idf=ln(N/df)."""
+    n = _docs(spark, sf).count()
+    return (_tf(spark, sf).groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select("term", "df",
+                    F.round(F.log(F.lit(float(n)) / F.col("df")), 6)
+                    .alias("idf")))
+
+
+def q_corpus_stats(spark, sf):
+    """A4+A5: corpus size and average doc length."""
+    return _docs(spark, sf).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(_tokens_col())), 6).alias("avgdl"))
+
+
+def q_bm25_topk(spark, sf):
+    """Flagship: BM25 top-50 for query terms (data, query, spark) —
+    J1+A9+O1/O2 over the documents table."""
+    docs = _docs(spark, sf)
+    n = docs.count()
+    tf = _tf(spark, sf)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    idf = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .withColumn("idf", F.log(F.lit(float(n)) / F.col("df"))))
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "term string")
+    tf_ = F.col("tf").cast("double")
+    sat = (tf_ * (K1 + 1)) / (
+        tf_ + K1 * (1 - B + B * F.col("dl").cast("double") / F.lit(float(avgdl))))
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id").join(idf.select("term", "idf"), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * sat), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 50)
+            .select("doc_id", "score", "rank"))
+
+
+def q_lang_counts(spark, sf):
+    """P11 gate analog: documents per language."""
+    return _docs(spark, sf).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: md5 content-hash groups (F1 + groupBy)."""
+    return (_docs(spark, sf)
+            .select(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+            .groupBy("text_md5").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def q_doc_fingerprint(spark, sf):
+    """Bag-of-words fingerprint: md5 over the sorted distinct token set
+    (order-insensitive near-dup key)."""
+    key = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens_col())))
+    return _docs(spark, sf).select(
+        "doc_id", F.md5(key.cast("binary")).alias("fp"))
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """n-gram Jaccard near-dup pairs (J3 analog): candidate pairs via
+    shared shingle (inverted-index prefilter — never O(N²)), jaccard
+    = |∩|/|∪| ≥ 0.2."""
+    sh = _shingles(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(F.col("inter").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+                .alias("jaccard"))
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH candidate pairs: 8 md5-minhashes, 4 bands of 2;
+    pairs sharing any band bucket (the scale path for near-dup —
+    shuffle is by band bucket, never all-pairs)."""
+    sh = _shingles(spark, sf)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary")))
+        .alias(f"h{i}") for i in range(N_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = F.array(*[
+        F.concat_ws("|", F.lit(str(j)), F.col(f"h{2 * j}"),
+                    F.col(f"h{2 * j + 1}"))
+        for j in range(N_BANDS)
+    ])
+    bd = sig.select("doc_id", F.explode(bands).alias("band"))
+    a, b = bd.alias("a"), bd.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_embedding_cosine_topk(spark, sf):
+    """Brute-force cosine top-20 vs the vec_id=0 query vector
+    (similarity-search baseline)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qarr = F.array(*[F.lit(float(x)) for x in qvec])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(e, qarr, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(e, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nq = float(sum(float(x) * float(x) for x in qvec)) ** 0.5
+    scored = emb.select(
+        "vec_id", F.round(dot / (na * F.lit(nq)), 6).alias("cos"))
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 20))
+
+
+def q_ann_lsh_buckets(spark, sf):
+    """Sign-bit LSH bucketing over the first 12 dims — the ANN scale
+    path's bucket histogram."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    bits = F.concat(*[
+        F.when(F.element_at("embedding", i) >= 0, F.lit("1"))
+        .otherwise(F.lit("0")) for i in range(1, 13)
+    ])
+    return emb.select(bits.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"))
+
+
+def q_text_quality(spark, sf):
+    """Quality scoring: token count, stopword ratio, mean token length."""
+    toks = _tokens_col()
+    sw = F.array(*[F.lit(s) for s in STOPWORD_SAMPLE])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0), lambda acc, v: acc + v)
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(n_sw.cast("double") / F.size(toks), 6)
+        .alias("stopword_ratio"),
+        F.round(total_len.cast("double") / F.size(toks), 6)
+        .alias("avg_token_len"))
+
+
+def q_lang_id_heuristic(spark, sf):
+    """Language-ID heuristic: en vs de stopword hits."""
+    toks = _tokens_col()
+    en = F.array(*[F.lit(s) for s in STOPWORD_SAMPLE])
+    de = F.array(*[F.lit(s) for s in DE_SAMPLE])
+    n_en = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    n_de = F.size(F.filter(toks, lambda t: F.array_contains(de, t)))
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.when(n_en >= n_de, F.lit("en")).otherwise(F.lit("de"))
+        .alias("lang_guess"))
+
+
+def q_token_count_regex(spark, sf):
+    """Word-regex token counting (BPE-ish pre-tokenizer count)."""
+    return _docs(spark, sf).select(
+        "doc_id", F.regexp_count(F.col("text"), F.lit(r"\w+"))
+        .cast("long").alias("n_word_tokens"))
+
+
+def q_events_agg(spark, sf):
+    """Windowed-aggregation analog over the events table."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"))
+
+
+def q_events_user_topk(spark, sf):
+    """Top-20 users by total event value (O1/O2 on a non-search table)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value"))
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (totals.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 20))
+
+
+def q_tpch_pricing_summary(spark, sf):
+    """TPC-H Q1-style aggregate (generic agg path; DECIMAL-exact sums)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    dec = "decimal(18,4)"
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast(dec))
+                 .alias("sum_base_price"),
+                 F.sum((F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))).cast(dec))
+                 .alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_orders_by_segment(spark, sf):
+    """Join + aggregate: orders per customer market segment."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .alias("sum_totalprice")))
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL twins
+# ---------------------------------------------------------------------------
+
+_ORACLE: dict[str, str] = {}
+
+_ORACLE["doc_tf"] = f"""
+WITH {_TOK_SQL}
+SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+"""
+
+_ORACLE["term_df_idf"] = f"""
+WITH {_TOK_SQL},
+tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT term, count(*) AS df,
+       round(ln(n.n / count(*)), 6) AS idf
+FROM tf, n GROUP BY term, n.n
+"""
+
+_ORACLE["corpus_stats"] = """
+SELECT count(*) AS n_docs,
+       round(avg(len(list_filter(string_split(text, ' '), x -> x <> ''))), 6)
+       AS avgdl
+FROM documents
+"""
+
+_ORACLE["bm25_topk"] = f"""
+WITH {_TOK_SQL},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+idf AS (SELECT term, ln(stats.n / count(*)) AS idf
+        FROM tf, stats GROUP BY term, stats.n),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)}),
+scored AS (
+    SELECT tf.doc_id,
+           round(sum(idf.idf * (tf.tf * ({K1} + 1)) /
+                     (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))), 6)
+           AS score
+    FROM tf JOIN q USING (term)
+            JOIN dl USING (doc_id)
+            JOIN idf USING (term), stats
+    GROUP BY tf.doc_id
+),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 50
+"""
+
+_ORACLE["lang_counts"] = """
+SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+"""
+
+_ORACLE["dedup_exact"] = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+_ORACLE["doc_fingerprint"] = """
+SELECT doc_id,
+       md5(array_to_string(
+           list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+       AS fp
+FROM documents
+"""
+
+_ORACLE["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.2
+"""
+
+_minhash_cols = ", ".join(
+    f"min(md5('{i}:' || sh)) AS h{i}" for i in range(N_MINHASH))
+_band_rows = " UNION ALL ".join(
+    f"SELECT doc_id, '{j}' || '|' || h{2 * j} || '|' || h{2 * j + 1} AS band "
+    f"FROM sig" for j in range(N_BANDS))
+
+_ORACLE["dedup_minhash_lsh"] = f"""
+WITH {_SHINGLE_SQL},
+sig AS (SELECT doc_id, {_minhash_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+_ORACLE["embedding_cosine_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 6) AS cos
+    FROM embeddings, q
+),
+ranked AS (SELECT vec_id, cos,
+                  row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored)
+SELECT vec_id, cos, rank FROM ranked WHERE rank <= 20
+"""
+
+_ORACLE["ann_lsh_buckets"] = """
+SELECT array_to_string(
+           list_transform(generate_series(1, 12),
+                          i -> CASE WHEN embedding[i] >= 0
+                                    THEN '1' ELSE '0' END), '') AS bucket,
+       count(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+_sw_list = ", ".join(f"'{s}'" for s in STOPWORD_SAMPLE)
+_de_list = ", ".join(f"'{s}'" for s in DE_SAMPLE)
+
+_ORACLE["text_quality"] = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(len(list_filter(toks, x -> x IN ({_sw_list}))) * 1.0
+             / len(toks), 6) AS stopword_ratio,
+       round(list_sum(list_transform(toks, x -> len(x))) * 1.0
+             / len(toks), 6) AS avg_token_len
+FROM t
+"""
+
+_ORACLE["lang_id_heuristic"] = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(list_filter(toks, x -> x IN ({_sw_list})))
+                 >= len(list_filter(toks, x -> x IN ({_de_list})))
+            THEN 'en' ELSE 'de' END AS lang_guess
+FROM t
+"""
+
+_ORACLE["token_count_regex"] = r"""
+SELECT doc_id, len(regexp_extract_all(text, '\w+'))::BIGINT AS n_word_tokens
+FROM documents
+"""
+
+_ORACLE["events_agg"] = """
+SELECT event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+_ORACLE["events_user_topk"] = """
+WITH totals AS (
+    SELECT user_id, round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id
+),
+ranked AS (SELECT user_id, total_value,
+                  row_number() OVER (ORDER BY total_value DESC, user_id ASC)
+                  AS rank
+           FROM totals)
+SELECT user_id, total_value, rank FROM ranked WHERE rank <= 20
+"""
+
+_ORACLE["tpch_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,4)) AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,4)) AS sum_base_price,
+       sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))
+           AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_ORACLE["orders_by_segment"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(o_totalprice::DECIMAL(18,4)) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Public contract
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_tf": q_doc_tf,
+    "term_df_idf": q_term_df_idf,
+    "corpus_stats": q_corpus_stats,
+    "bm25_topk": q_bm25_topk,
+    "lang_counts": q_lang_counts,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "text_quality": q_text_quality,
+    "lang_id_heuristic": q_lang_id_heuristic,
+    "token_count_regex": q_token_count_regex,
+    "events_agg": q_events_agg,
+    "events_user_topk": q_events_user_topk,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "orders_by_segment": q_orders_by_segment,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)

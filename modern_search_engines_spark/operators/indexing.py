@@ -1,0 +1,246 @@
+"""Index-build dataflow: pages → extracted → tf/df/stats → bm25 postings.
+
+Spark-first re-expression of the reference's single-threaded index build
+(/root/reference/backend/core/DocumentIndex.py:47-73 and
+BM25Ranker.py:18-26). Every aggregate/join is a built-in DataFrame op so
+Catalyst handles pushdown/pruning/AQE; Python appears only in the two
+Arrow-batched UDFs (extraction, tokenization).
+
+Scale design (north rule):
+* Gates (PDF sniff, size, language/relevance) are plain column predicates
+  applied BEFORE the expensive extraction UDF where possible, and pushed
+  into the parquet scan by Catalyst.
+* tf/df aggregations are algebraic (count/sum) → map-side partial
+  aggregation already defuses head-term skew for them; no salt needed.
+* The posting-list build (collect per term — holistic, skew-prone) uses
+  an explicit salted two-phase merge — see ``postings.py``.
+* BM25 parameters (N, avgdl, avg_date, pinned now) are three scalars —
+  broadcast as literals, never joined.
+* The per-(doc,term) field-weight lookup is a doc-keyed equi-join against
+  doc-level metadata arrays, evaluated with JVM higher-order functions
+  (``filter``/``array_contains``) — no Python, no explode of the metadata.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import udfs
+from ..oracle.engine import B, K1, PINNED_NOW, RECENCY_LAMBDA
+
+MAX_HTML_CHARS = 5_000_000  # Document.py:62-64
+
+
+def filter_fetchable(pages: DataFrame) -> DataFrame:
+    """Content gates that the reference applies at fetch time
+    (Document.py:62-64, 98-113): PDF magic-byte sniff and oversize filter.
+
+    Runs BEFORE extraction so the UDF never sees rejected rows; both
+    predicates are JVM expressions on the binary column.
+    """
+    return pages.where(
+        (F.substring(F.col("html").cast("string"), 1, 4) != "%PDF")
+        & (F.length(F.col("html")) <= MAX_HTML_CHARS)
+    )
+
+
+def extract_pages(pages: DataFrame, ngram_max: int = 3) -> DataFrame:
+    """pages(url, warc_ts, html, ...) → extracted documents table.
+
+    One Arrow-batched UDF pass computes the full extraction struct
+    (Document.py:66-96); a second computes index tokens + field-weight
+    membership sets (DocumentIndex.py:112-141); a third the simhash.
+    ``html`` is dropped immediately after — downstream stages must never
+    carry the wide binary column (column pruning by construction).
+    """
+    gated = filter_fetchable(pages)
+    ex = gated.withColumn("ex", udfs.extract_udf("url", "html"))
+    tok = udfs.make_index_tokens_udf(ngram_max)
+    out = (
+        ex.select(
+            "url", "warc_ts",
+            F.col("ex.doc_id").alias("doc_id"),
+            F.col("ex.title").alias("title"),
+            F.col("ex.description").alias("description"),
+            F.col("ex.keywords").alias("keywords"),
+            F.col("ex.icon_url").alias("icon_url"),
+            F.col("ex.last_modified").alias("last_modified"),
+            F.col("ex.headings").alias("headings"),
+            F.col("ex.text_emphasis").alias("text_emphasis"),
+            F.col("ex.links").alias("links"),
+            F.col("ex.text").alias("text"),
+            F.col("ex.single_tokens").alias("single_tokens"),
+            F.col("ex.language").alias("language"),
+        )
+        .withColumn("it", tok("single_tokens", "title",
+                              "headings", "text_emphasis"))
+        .withColumn("sh", udfs.simhash_udf("single_tokens"))
+        .select(
+            "*",
+            F.col("it.tokens").alias("tokens"),
+            F.col("it.title_terms").alias("title_terms"),
+            F.col("it.heading_terms").alias("heading_terms"),
+            F.col("it.emphasis_terms").alias("emphasis_terms"),
+            F.col("sh.sim_hi").alias("sim_hi"),
+            F.col("sh.sim_lo").alias("sim_lo"),
+        )
+        .drop("it", "sh")
+    )
+    return out
+
+
+def filter_index_docs(extracted: DataFrame) -> DataFrame:
+    """The reference's index-time relevance gate (DocumentIndex.py:75-88 +
+    Crawler.py:239-254, SURVEY.md P12/P13): effectively
+    language=='en' AND 'tübingen' ∈ single_tokens (the scheme-checking
+    ``__base_url_relevant`` is always False — bug replicated, not fixed).
+    """
+    url_lower = F.lower(F.col("url"))
+    crawler_relevant = (F.col("language") == "en") & (
+        url_lower.contains("tübingen")
+        | url_lower.contains("tuebingen")
+        | url_lower.contains("tubingen")
+        | F.array_contains("single_tokens", "tübingen")
+    )
+    return extracted.where(
+        crawler_relevant & F.array_contains("single_tokens", "tübingen"))
+
+
+def corpus_stats(indexed_docs: DataFrame) -> dict:
+    """N, unigram avgdl (quirk A5), avg doc date (A6) — three scalars,
+    collected once and injected as literals (never a join).
+    Date math in fractional epoch seconds to mirror
+    ``datetime.timestamp()`` float semantics.
+    """
+    row = indexed_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("single_tokens")).alias("avgdl"),
+        F.avg(F.unix_micros("last_modified") / F.lit(1_000_000.0))
+        .alias("avg_date_ts"),
+    ).collect()[0]
+    return {"N": row["n"], "avgdl": row["avgdl"],
+            "avg_date_ts": row["avg_date_ts"]}
+
+
+def build_tf(indexed_docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — A1. explode + algebraic count; map-side
+    partial aggregation absorbs head-term skew."""
+    return (
+        indexed_docs.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def build_doc_len(tf: DataFrame) -> DataFrame:
+    """(doc_id, doc_len) — BM25's full-multiset length (quirk A7)."""
+    return tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+
+
+def build_term_stats(tf: DataFrame, n_docs: int) -> DataFrame:
+    """(term, df, idf) — A2 + F5. tf is already distinct per (doc,term)."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).withColumn(
+        "idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+
+
+def build_doc_fields(indexed_docs: DataFrame, avg_date_ts: float | None,
+                     now: dt.datetime = PINNED_NOW) -> DataFrame:
+    """(doc_id, title_terms, heading_terms, emphasis_terms, recency).
+
+    Recency weight exp(−0.008·age_days) with integer-floor day age and
+    avg-date imputation (BM25Ranker.py:44-47, DocumentIndex.py:116).
+    Precomputed per doc — it does not depend on the term.
+    """
+    now_ts = now.timestamp()
+    date_ts = F.coalesce(
+        F.unix_micros("last_modified") / F.lit(1_000_000.0),
+        F.lit(avg_date_ts).cast("double"),
+    )
+    age_days = F.floor((F.lit(now_ts) - date_ts) / F.lit(86400.0))
+    recency = F.when(date_ts.isNull(), F.lit(1.0)).otherwise(
+        F.exp(F.lit(-RECENCY_LAMBDA) * age_days.cast("double")))
+    return indexed_docs.select(
+        "doc_id", "title_terms", "heading_terms", "emphasis_terms",
+        recency.alias("recency"),
+    )
+
+
+def build_bm25_postings(tf: DataFrame, term_stats: DataFrame,
+                        doc_len: DataFrame, doc_fields: DataFrame,
+                        avgdl: float, n_buckets: int = 64) -> DataFrame:
+    """(term, bucket, doc_id, score) — the materialized BM25 partials
+    (BM25Ranker.py:18-26), all JVM-side arithmetic.
+
+    Join shape at scale: tf ⋈ doc_len ⋈ doc_fields are all doc_id-keyed —
+    co-partitioned shuffle joins on the same key (one exchange reused);
+    tf ⋈ term_stats is term-keyed. Field weights use higher-order
+    functions over the doc-level membership arrays (F8: ×2 title,
+    ×1.6 per heading level, ×1.2 per emphasis class, compounding).
+    ``bucket`` = pmod(xxhash64(term), n_buckets) is the postings
+    partition key → query-time partition pruning (SURVEY.md §4).
+    """
+    t = F.col("term")
+    in_title = F.array_contains("title_terms", t)
+    nh = F.size(F.filter("heading_terms",
+                         lambda a: F.array_contains(a, t)))
+    ne = F.size(F.filter("emphasis_terms",
+                         lambda a: F.array_contains(a, t)))
+    weight = (
+        F.when(in_title, F.lit(2.0)).otherwise(F.lit(1.0))
+        * F.pow(F.lit(1.6), nh.cast("double"))
+        * F.pow(F.lit(1.2), ne.cast("double"))
+    )
+    tf_ = F.col("tf").cast("double")
+    sat = (tf_ * (K1 + 1)) / (
+        tf_ + K1 * (1 - B + B * (F.col("doc_len").cast("double")
+                                 / F.lit(float(avgdl)))))
+    return (
+        tf.join(doc_len, "doc_id")
+        .join(doc_fields, "doc_id")
+        .join(term_stats.select("term", "idf"), "term")
+        .select(
+            "term",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket"),
+            "doc_id",
+            (F.col("recency") * weight * F.col("idf") * sat).alias("score"),
+        )
+    )
+
+
+def build_tfidf(tf: DataFrame, term_stats: DataFrame) -> DataFrame:
+    """(term, doc_id, tfidf) — J5/F11 (DocumentIndex.py:147-151)."""
+    return tf.join(term_stats.select("term", "idf"), "term").select(
+        "term", "doc_id",
+        (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"))
+
+
+def build_index(pages: DataFrame, ngram_max: int = 3,
+                now: dt.datetime = PINNED_NOW,
+                n_buckets: int = 64) -> dict:
+    """Full logical index build; returns the stage DataFrames + stats.
+
+    Callers materialize stages via ``sources.tables.write_stage`` for
+    resumability; returned frames are lazy plans otherwise.
+    """
+    extracted = extract_pages(pages, ngram_max)
+    indexed = filter_index_docs(extracted)
+    stats = corpus_stats(indexed)
+    tf = build_tf(indexed)
+    doc_len = build_doc_len(tf)
+    term_stats = build_term_stats(tf, stats["N"])
+    doc_fields = build_doc_fields(indexed, stats["avg_date_ts"], now)
+    postings = build_bm25_postings(tf, term_stats, doc_len, doc_fields,
+                                   stats["avgdl"], n_buckets)
+    tfidf = build_tfidf(tf, term_stats)
+    return {
+        "extracted": extracted,
+        "docs": indexed,
+        "stats": stats,
+        "tf": tf,
+        "doc_len": doc_len,
+        "term_stats": term_stats,
+        "doc_fields": doc_fields,
+        "bm25_postings": postings,
+        "tfidf": tfidf,
+    }
