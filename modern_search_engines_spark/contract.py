@@ -248,6 +248,70 @@ def q_ann_lsh_buckets(spark, sf):
         F.count(F.lit(1)).alias("n_vectors"))
 
 
+def q_ann_lsh_topk(spark, sf):
+    """ANN scale path: exact cosine within the query vector's sign-bit
+    bucket only (8 bits, no multi-probe) — top-10."""
+    from .operators import similarity
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return (similarity.lsh_topk(emb, qvec, k=10, n_bits=8,
+                                multi_probe=False)
+            .select("vec_id", F.round("cos", 6).alias("cos"), "rank"))
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal plumbing: documents' text bytes as an opaque binary
+    payload → mapInPandas feature extraction (deterministic fake decode);
+    the SQL twin recomputes n_bytes/width from the same md5 bytes."""
+    from .operators import multimodal
+    docs = _docs(spark, sf)
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("image"))
+        .otherwise(F.lit("audio")).alias("kind"),
+        F.col("text").cast("binary").alias("payload"))
+    return (multimodal.extract_features(media)
+            .select("id", "kind", "n_bytes", "width"))
+
+
+def q_simhash_pairs(spark, sf):
+    """SimHash near-dup candidate pairs over the documents table —
+    rows-only contract entry (128-bit md5 simhash is not expressible in
+    ANSI SQL); the banded-join plan is the J3 scale path."""
+    from .functions import udfs
+    from .operators import dedup
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.filter(F.split("text", " "), lambda x: x != "")
+        .alias("single_tokens"))
+    sh = docs.withColumn("sh", udfs.simhash_udf("single_tokens"))
+    sh = sh.select("doc_id", F.col("sh.sim_hi").alias("sim_hi"),
+                   F.col("sh.sim_lo").alias("sim_lo"))
+    return dedup.simhash_near_dups(sh, max_distance=8)
+
+
+def q_union_dedup_rank(spark, sf):
+    """U1: rank-preserving union of two retrieval runs (BM25 ≻ tf-sum),
+    keep the first occurrence per doc — deterministic via priority
+    window, not dropDuplicates."""
+    bm25 = q_bm25_topk(spark, sf).select(
+        "doc_id", "score", F.lit(0).alias("priority"),
+        F.lit("bm25").alias("source"))
+    tfsum = (_tf(spark, sf)
+             .join(spark.createDataFrame(
+                 [(t,) for t in BM25_QUERY_TERMS], "term string"), "term")
+             .groupBy("doc_id")
+             .agg(F.round(F.sum("tf").cast("double"), 6).alias("score"))
+             .select("doc_id", "score", F.lit(1).alias("priority"),
+                     F.lit("tfsum").alias("source")))
+    unioned = bm25.unionByName(tfsum)
+    w = Window.partitionBy("doc_id").orderBy("priority")
+    return (unioned.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "source", "score"))
+
+
 def q_text_quality(spark, sf):
     """Quality scoring: token count, stopword ratio, mean token length."""
     toks = _tokens_col()
@@ -450,6 +514,74 @@ SELECT array_to_string(
 FROM embeddings GROUP BY 1
 """
 
+_ORACLE["ann_lsh_topk"] = """
+WITH b AS (
+    SELECT vec_id, embedding,
+           array_to_string(list_transform(generate_series(1, 8),
+               i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
+           AS bucket
+    FROM embeddings
+),
+q AS (SELECT embedding::DOUBLE[] AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 6) AS cos
+    FROM b, q WHERE b.bucket = q.qb
+),
+ranked AS (SELECT vec_id, cos,
+                  row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored)
+SELECT vec_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+
+# fake decoder: width = 16 + first_md5_byte % 64 for images, 0 otherwise
+_HEXPOS = "strpos('0123456789abcdef', {c}) - 1"
+_D0 = (f"(({_HEXPOS.format(c='substring(md5(text), 1, 1)')}) * 16 + "
+       f"({_HEXPOS.format(c='substring(md5(text), 2, 1)')}))")
+
+_ORACLE["multimodal_features"] = f"""
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN (16 + {_D0} % 64) ELSE 0 END AS width
+FROM documents
+"""
+
+_ORACLE["union_dedup_rank"] = f"""
+WITH {_TOK_SQL},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+idf AS (SELECT term, ln(stats.n / count(*)) AS idf
+        FROM tf, stats GROUP BY term, stats.n),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)}),
+scored AS (
+    SELECT tf.doc_id,
+           round(sum(idf.idf * (tf.tf * ({K1} + 1)) /
+                     (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))), 6)
+           AS score
+    FROM tf JOIN q USING (term)
+            JOIN dl USING (doc_id)
+            JOIN idf USING (term), stats
+    GROUP BY tf.doc_id
+),
+bm25 AS (SELECT doc_id, score, 0 AS priority, 'bm25' AS source
+         FROM (SELECT doc_id, score,
+                      row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS rank FROM scored)
+         WHERE rank <= 50),
+tfsum AS (SELECT tf.doc_id, round(sum(tf.tf) * 1.0, 6) AS score,
+                 1 AS priority, 'tfsum' AS source
+          FROM tf JOIN q USING (term) GROUP BY tf.doc_id),
+unioned AS (SELECT * FROM bm25 UNION ALL SELECT * FROM tfsum),
+dedup AS (SELECT doc_id, source, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY priority)
+                 AS rn
+          FROM unioned)
+SELECT doc_id, source, score FROM dedup WHERE rn = 1
+"""
+
 _sw_list = ", ".join(f"'{s}'" for s in STOPWORD_SAMPLE)
 _de_list = ", ".join(f"'{s}'" for s in DE_SAMPLE)
 
@@ -539,6 +671,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+    "simhash_pairs": q_simhash_pairs,       # rows-only (no SQL twin)
+    "union_dedup_rank": q_union_dedup_rank,
     "text_quality": q_text_quality,
     "lang_id_heuristic": q_lang_id_heuristic,
     "token_count_regex": q_token_count_regex,

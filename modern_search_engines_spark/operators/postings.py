@@ -1,0 +1,161 @@
+"""Compressed posting-list construction — the salted two-phase merge
+(north rule: "merge-sort posting-merge stage with salted repartitioning
+to defuse head-term skew").
+
+Why two phases: ``groupBy(term).collect_list()`` is a holistic aggregate —
+a head term (Zipfian df) would funnel its entire posting list through one
+reduce task. Phase 1 groups by (term, salt(doc)) so a head term's postings
+are built as S independent sorted runs on S tasks; phase 2 merges the ≤S
+runs per term (vectorized, ``codec.merge_runs``) and emits the final
+compressed list. AQE cannot do this for aggregations (it only splits
+skewed *joins*) — this is explicit dataflow design (SURVEY.md §4.1).
+
+Execution shape (learned the hard way): with 1..3-gram vocabularies the
+term count is O(total tokens), so anything per-term in Python
+(``applyInPandas`` = one Python call per GROUP) drowns in invocation
+overhead. Both phases therefore aggregate JVM-side
+(``sort_array(collect_list(...))``) and the only Python is ONE
+Arrow-batched ``pandas_udf`` that loops over the ~10k rows of each Arrow
+batch calling the numpy codec — per-batch, not per-term, invocation cost.
+
+Doc ids inside the compressed lists are int64
+``doc_idx = conv(doc_id[:15], 16, 10)`` — the leading 60 bits of the md5
+doc id. This keeps integer order consistent with the canonical
+(score desc, doc_id asc) tie-break: WAND breaks score ties on doc_idx and
+must agree with the oracle's doc_id string order. (At the 10^12-doc design
+point this is promoted to a two-level (shard, local_idx) key to rule out
+prefix collisions; the sandbox scale is ~2^20 docs against a 2^60 space.)
+``doc_dim`` maps idx back to the md5 doc_id for display.
+
+Sharding: compressed rows are keyed (term, bucket, shard) where
+``shard = pmod(doc_idx, n_shards)``. A document lives in exactly one
+shard, so per-shard WAND top-k is complete for its docs and the global
+top-k is a cheap union-merge — the parallel query path at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..functions import codec
+
+BLOBS_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("ids_blob", T.BinaryType()),
+    T.StructField("scores_blob", T.BinaryType()),
+    T.StructField("block_first", T.BinaryType()),
+    T.StructField("block_max", T.BinaryType()),
+    T.StructField("block_off", T.BinaryType()),
+])
+
+_BLOB_KEYS = ("n", "ids_blob", "scores_blob", "block_first", "block_max",
+              "block_off")
+
+
+@F.pandas_udf(BLOBS_SCHEMA)
+def _merge_compress_udf(runs_ids: pd.Series,
+                        runs_scores: pd.Series) -> pd.DataFrame:
+    """Merge each row's sorted runs and compress — one Python call per
+    Arrow batch; inner loop is numpy-only."""
+    rows = []
+    for id_runs, score_runs in zip(runs_ids, runs_scores):
+        runs = [
+            (np.asarray(i, dtype=np.int64), np.asarray(s, dtype=np.float64))
+            for i, s in zip(id_runs, score_runs)
+        ]
+        ids, scores = codec.merge_runs(runs)
+        blobs = codec.compress(ids, scores)
+        rows.append({k: blobs[k] for k in _BLOB_KEYS})
+    return pd.DataFrame(rows, columns=list(_BLOB_KEYS))
+
+
+def _doc_idx():
+    """Order-preserving int64 key from the md5-hex doc_id (leading 60
+    bits): integer order == doc_id string order at no-collision scale."""
+    return F.conv(F.substring("doc_id", 1, 15), 16, 10).cast("long")
+
+
+def doc_dim(bm25_postings: DataFrame) -> DataFrame:
+    """(doc_idx, doc_id) mapping for result materialization."""
+    return (bm25_postings.select("doc_id").distinct()
+            .select(_doc_idx().alias("doc_idx"), "doc_id"))
+
+
+def build_compressed_postings(bm25_postings: DataFrame,
+                              n_salts: int = 8,
+                              n_shards: int = 1,
+                              n_buckets: int = 64) -> DataFrame:
+    """(term, bucket, shard, n, blobs…) — the salted two-phase build.
+
+    Phase 1 shuffle key (term, shard, salt) spreads head terms over
+    ``n_salts`` tasks and builds sorted runs JVM-side; phase 2 shuffle key
+    (term, shard) moves only the packed runs and merges+compresses them in
+    one Arrow-batched UDF pass.
+    """
+    with_keys = bm25_postings.select(
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket"),
+        _doc_idx().alias("doc_idx"),
+        F.col("score").cast("double").alias("score"),
+    ).withColumn("salt", F.pmod(F.xxhash64("doc_idx"), F.lit(n_salts)))
+
+    run = F.sort_array(F.collect_list(F.struct("doc_idx", "score")))
+    phase1 = (
+        with_keys.groupBy("term", "bucket", "salt")
+        .agg(run.alias("run"))
+        .select(
+            "term", "bucket",
+            F.transform("run", lambda x: x["doc_idx"]).alias("run_ids"),
+            F.transform("run", lambda x: x["score"]).alias("run_scores"),
+        )
+    )
+
+    phase2 = (
+        phase1.groupBy("term", "bucket")
+        .agg(F.collect_list("run_ids").alias("runs_ids"),
+             F.collect_list("run_scores").alias("runs_scores"))
+        .withColumn("blobs",
+                    _merge_compress_udf("runs_ids", "runs_scores"))
+    )
+
+    out = phase2.select(
+        "term", "bucket",
+        F.lit(0).cast("long").alias("shard"),
+        *[F.col(f"blobs.{k}").alias(k) for k in _BLOB_KEYS],
+    )
+    if n_shards > 1:
+        # shard split: recompute per shard from the same phase-1 runs.
+        # A doc belongs to exactly one shard, so shards partition each
+        # term's posting list.
+        sharded = (
+            with_keys.withColumn(
+                "shard", F.pmod("doc_idx", F.lit(n_shards)))
+            .groupBy("term", "bucket", "shard", "salt")
+            .agg(run.alias("run"))
+            .select(
+                "term", "bucket", "shard",
+                F.transform("run", lambda x: x["doc_idx"]).alias("run_ids"),
+                F.transform("run", lambda x: x["score"])
+                .alias("run_scores"))
+            .groupBy("term", "bucket", "shard")
+            .agg(F.collect_list("run_ids").alias("runs_ids"),
+                 F.collect_list("run_scores").alias("runs_scores"))
+            .withColumn("blobs",
+                        _merge_compress_udf("runs_ids", "runs_scores"))
+        )
+        out = sharded.select(
+            "term", "bucket", "shard",
+            *[F.col(f"blobs.{k}").alias(k) for k in _BLOB_KEYS])
+    return out
+
+
+def write_postings(compressed: DataFrame, path: str) -> None:
+    """Persist partitioned by bucket → query-time partition pruning.
+    (Iceberg ``bucket(term)`` partition transform on a real cluster;
+    parquet ``partitionBy`` here.)"""
+    (compressed.repartition("bucket")
+     .sortWithinPartitions("term", "shard")
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))

@@ -1,0 +1,134 @@
+"""Top-k MMR-style diversification + LDA topics (reference R1/R2).
+
+The greedy diversify loop is inherently sequential over ≤100 rows
+(ReRanker.py:41-60) — it runs driver-side on the collected top-k, exactly
+like the reference; only topic *training/assignment* is distributed
+(pyspark.ml CountVectorizer + LDA replaces gensim, LDAmodel.py:28-39).
+
+Semantics re-expressed with the reference's quirks:
+* relevance = Σ scores(reranked) / Σ scores(original top-|reranked|)
+  (ReRanker.py:63-70);
+* diversity = 1 − clip(Σ |topic_share_avg − 1/K|, ≤1) where shares are
+  averaged over the current ranking (ReRanker.py:73-88);
+* greedy: seed with rank-1, then repeatedly append the candidate among
+  the next ``consider`` maximizing λ·rel + (1−λ)·div, ties → last
+  maximizer wins (the reference's ``>=``, ReRanker.py:54-56);
+* topic labels by keyword membership over the topic's top words
+  (LDAmodel.py:41-56).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOPIC_LABEL_RULES = (
+    (("research", "scholar", "university", "model"), "University & Research"),
+    (("city", "town", "castle"), "City & Sights"),
+    (("travel", "hotel"), "Travel"),
+    (("food",), "Food & Drinks"),
+    (("review",), "Reviews"),
+)
+
+
+def label_topic(top_words: list[str]) -> str | None:
+    for keywords, label in TOPIC_LABEL_RULES:
+        if any(w in top_words for w in keywords):
+            return label
+    return None
+
+
+def train_lda_topics(docs: DataFrame, num_topics: int = 20,
+                     vocab_size: int = 2000, max_iter: int = 20,
+                     seed: int = 123):
+    """doc_topics(doc_id → [(topic, share)...]) + topic labels via
+    pyspark.ml LDA over ``single_tokens`` (tübingen variants excluded,
+    LDAmodel.py:17-18)."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    filtered = docs.select(
+        "doc_id",
+        F.array_remove(F.array_remove("single_tokens", "tübingen"),
+                       "tuebingen").alias("toks"))
+    cv = CountVectorizer(inputCol="toks", outputCol="features",
+                         vocabSize=vocab_size, minDF=1.0)
+    cv_model = cv.fit(filtered)
+    vecs = cv_model.transform(filtered)
+    lda = LDA(k=num_topics, maxIter=max_iter, seed=seed,
+              featuresCol="features")
+    model = lda.fit(vecs)
+
+    vocab = cv_model.vocabulary
+    topics = {}
+    for row in model.describeTopics(10).collect():
+        words = [vocab[i] for i in row["termIndices"]]
+        topics[row["topic"]] = label_topic(words)
+
+    assigned = model.transform(vecs).select("doc_id", "topicDistribution")
+    doc_topics = {
+        r["doc_id"]: [(i, float(p)) for i, p in
+                      enumerate(r["topicDistribution"]) if p > 1e-8]
+        for r in assigned.collect()
+    }
+    return doc_topics, topics
+
+
+class MMRReRanker:
+    """Driver-side greedy diversification over a collected top-k
+    (ReRanker.py:25-100 semantics)."""
+
+    def __init__(self, doc_topics: dict, topics: dict):
+        self.doc_topics = doc_topics
+        self.topics = topics
+        self.original: list[dict] = []
+
+    def _relevance(self, ranking: list[dict]) -> float:
+        max_rel = sum(d["score"] for d in self.original[: len(ranking)])
+        rel = sum(d["score"] for d in ranking)
+        return rel / max_rel if max_rel else 0.0
+
+    def _diversity(self, ranking: list[dict]) -> float:
+        shares: dict[int, float] = {}
+        for d in ranking:
+            for topic, p in self.doc_topics.get(d["doc_id"], []):
+                shares[topic] = shares.get(topic, 0.0) + p / len(ranking)
+        perfect = 1.0 / len(self.topics) if self.topics else 0.0
+        deviation = sum(abs(v - perfect) for v in shares.values())
+        return 1.0 - min(deviation, 1.0)
+
+    def diversify(self, ranking: list[dict], relevance_importance: float,
+                  consider: int) -> list[dict]:
+        if not ranking:
+            return []
+        docs = list(ranking)
+        reranked = [docs.pop(0)]
+        while docs:
+            v_max, max_doc = 0.0, None
+            for doc in docs[:consider]:
+                reranked.append(doc)
+                v = (relevance_importance * self._relevance(reranked)
+                     + (1 - relevance_importance)
+                     * self._diversity(reranked))
+                if v >= v_max:           # >= : last maximizer wins (quirk)
+                    v_max, max_doc = v, doc
+                reranked.pop()
+            reranked.append(max_doc)
+            docs.remove(max_doc)
+        return reranked
+
+    def rank_documents(self, original: list[dict],
+                       topic_threshold: float = 0.2,
+                       relevance_importance: float = 0.7,
+                       consider: int = 5) -> list[dict]:
+        self.original = original
+        if not original:
+            return []
+        ranking = self.diversify(original, relevance_importance, consider)
+        for doc in ranking:
+            labels = {
+                self.topics[t]
+                for t, p in self.doc_topics.get(doc["doc_id"], [])
+                if p >= topic_threshold and self.topics.get(t) is not None
+            }
+            doc["topics"] = sorted(labels)
+        return ranking

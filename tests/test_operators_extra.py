@@ -1,0 +1,207 @@
+"""Dedup / similarity / multimodal / streaming / rerank / eval operator
+tests (SURVEY.md §2.10 + training-data-pipeline families)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from modern_search_engines_spark import corpus, textlib
+from modern_search_engines_spark.operators import (
+    dedup, evaluate, indexing, multimodal, rerank, similarity,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dups(spark):
+    df = spark.createDataFrame(
+        [("a", "same text"), ("b", "same text"), ("c", "other")],
+        "doc_id string, text string")
+    rows = dedup.exact_dups(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 2
+    assert rows[0]["doc_ids"] == ["a", "b"]
+
+
+def test_simhash_near_dups_finds_identical_docs(spark):
+    # two identical token sets → identical simhash → distance 0
+    h = textlib.simhash128(["castle", "museum", "river"])
+    hi, lo = textlib.simhash_to_longs(h)
+    h2 = textlib.simhash128(["completely", "different", "words", "here"])
+    hi2, lo2 = textlib.simhash_to_longs(h2)
+    df = spark.createDataFrame(
+        [("a", hi, lo), ("b", hi, lo), ("c", hi2, lo2)],
+        "doc_id string, sim_hi long, sim_lo long")
+    rows = dedup.simhash_near_dups(df, max_distance=5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["distance"])
+            for r in rows] == [("a", "b", 0)]
+
+
+def test_simhash_near_dups_on_corpus(spark):
+    pages = corpus.pages_df(spark, 30, seed=2,
+                            num_partitions=2).drop("text", "lang")
+    ext = indexing.extract_pages(pages, ngram_max=1)
+    pairs = dedup.simhash_near_dups(ext, max_distance=5)
+    # no identical pages in the synthetic corpus → likely empty, but the
+    # plan must execute and never crossJoin
+    assert "CartesianProduct" not in pairs._jdf.queryExecution().toString()
+    pairs.collect()
+
+
+def test_embedding_near_dups(spark, sf_dirs):
+    emb = spark.read.parquet(f"{sf_dirs['t1']}/embeddings.parquet")
+    # self-similarity guard: add a duplicated vector
+    one = emb.limit(1).withColumn("vec_id", F.lit(999_999))
+    rows = dedup.embedding_near_dups(emb.unionByName(one), 0.999).collect()
+    assert any({r["vec_a"], r["vec_b"]} == {0, 999_999} or
+               r["cos"] >= 0.999 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dirs):
+    return spark.read.parquet(f"{sf_dirs['t1']}/embeddings.parquet").cache()
+
+
+def test_brute_force_topk_self_first(spark, emb):
+    q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    top = similarity.brute_force_topk(emb, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["cos"] == pytest.approx(1.0, abs=1e-9)
+    scores = [r["cos"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_contains_self_and_subset_of_bruteforce(spark, emb):
+    q = list(emb.where(F.col("vec_id") == 7).collect()[0]["embedding"])
+    exact = {r["vec_id"]: r["cos"]
+             for r in similarity.brute_force_topk(emb, q, k=500).collect()}
+    approx = similarity.lsh_topk(emb, q, k=10, n_bits=8).collect()
+    assert approx[0]["vec_id"] == 7
+    for r in approx:
+        assert r["cos"] == pytest.approx(exact[r["vec_id"]], rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x89PNGfakebytes")),
+         (2, "audio", bytearray(b"RIFFfake")),
+         (3, "image", None)],
+        "id long, kind string, payload binary")
+    rows = {r["id"]: r for r in
+            multimodal.extract_features(df).collect()}
+    assert rows[1]["n_bytes"] == 13 and rows[1]["width"] > 0
+    assert rows[2]["width"] == 0  # audio has no dims
+    assert rows[3]["n_bytes"] == 0  # null payload handled
+    assert len(rows[1]["feature"]) == 8
+    again = {r["id"]: r for r in
+             multimodal.extract_features(df).collect()}
+    assert rows[1]["feature"] == again[1]["feature"]  # deterministic
+
+
+def test_multimodal_real_decoder_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decoder(b"x", "image")
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"x" * 95))],
+        "id long, kind string, payload binary")
+    rows = multimodal.frame_sample_plan(df, every_n=30).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# evaluation metrics (reference quirks R3-R5)
+# ---------------------------------------------------------------------------
+
+def test_metric_quirks():
+    model = ["a", "b", "c", "d"]
+    gt = ["b", "d", "x", "y", "z"]
+    assert evaluate.mrr(model, gt) == 0.5
+    # IDCG over ALL 5 gt results (quirk)
+    idcg = sum(1 / math.log2(j + 1) for j in range(1, 6))
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)
+    assert evaluate.ndcg(model, gt) == pytest.approx(dcg / idcg)
+    # MAP divided by len(gt)=5 (quirk)
+    ap = (1 / 2 + 2 / 4) / 5
+    assert evaluate.average_precision(model, gt) == pytest.approx(ap)
+
+
+def test_evaluate_runs_distributed_matches_driver(spark):
+    runs = spark.createDataFrame(
+        [("q1", 1, "a"), ("q1", 2, "b"), ("q1", 3, "c"), ("q1", 4, "d"),
+         ("q2", 1, "x")],
+        "qid string, rank int, url string")
+    qrels = spark.createDataFrame(
+        [("q1", "b", 1), ("q1", "d", 1), ("q1", "x", 1), ("q1", "y", 1),
+         ("q1", "z", 1), ("q2", "nope", 1)],
+        "qid string, url string, relevant int")
+    rows = {r["qid"]: r for r in
+            evaluate.evaluate_runs(runs, qrels).collect()}
+    model, gt = ["a", "b", "c", "d"], ["b", "d", "x", "y", "z"]
+    assert rows["q1"]["mrr"] == pytest.approx(evaluate.mrr(model, gt))
+    assert rows["q1"]["ndcg"] == pytest.approx(evaluate.ndcg(model, gt))
+    assert rows["q1"]["map"] == pytest.approx(
+        evaluate.average_precision(model, gt))
+    assert rows["q2"]["mrr"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# rerank (MMR, reference quirks)
+# ---------------------------------------------------------------------------
+
+def _ranking():
+    return [{"doc_id": f"d{i}", "score": 1.0 - 0.1 * i} for i in range(5)]
+
+
+def test_mmr_pure_relevance_keeps_order():
+    rr = rerank.MMRReRanker(doc_topics={}, topics={0: None})
+    out = rr.rank_documents(_ranking(), relevance_importance=1.0,
+                            consider=5)
+    assert [d["doc_id"] for d in out] == ["d0", "d1", "d2", "d3", "d4"]
+
+
+def test_mmr_diversity_prefers_spread_topics():
+    # d1 shares d0's topic; d2 covers the other topic → with diversity
+    # weight, d2 should jump ahead of d1
+    doc_topics = {"d0": [(0, 1.0)], "d1": [(0, 1.0)], "d2": [(1, 1.0)],
+                  "d3": [(0, 1.0)], "d4": [(1, 1.0)]}
+    topics = {0: "A", 1: "B"}
+    rr = rerank.MMRReRanker(doc_topics, topics)
+    out = rr.rank_documents(_ranking(), relevance_importance=0.1,
+                            consider=4)
+    assert out[0]["doc_id"] == "d0"          # rank-1 always seeds
+    assert out[1]["doc_id"] in ("d2", "d4")  # other-topic doc promoted
+    assert out[1]["topics"] == ["B"]
+
+
+def test_mmr_empty():
+    rr = rerank.MMRReRanker({}, {})
+    assert rr.rank_documents([]) == []
+
+
+def test_lda_topics_trains(spark):
+    pages = corpus.pages_df(spark, 25, seed=4,
+                            num_partitions=2).drop("text", "lang")
+    docs = indexing.extract_pages(pages, ngram_max=1).select(
+        "doc_id", "single_tokens")
+    doc_topics, topics = rerank.train_lda_topics(
+        docs, num_topics=5, max_iter=5)
+    assert len(doc_topics) == 25
+    assert set(topics) == {0, 1, 2, 3, 4}
+    for shares in doc_topics.values():
+        assert abs(sum(p for _, p in shares) - 1.0) < 1e-6
