@@ -49,8 +49,14 @@ def _tf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, sh) — distinct word-3-gram shingles per doc."""
-    arr = _tokens_col()
+    """(doc_id, sh) — distinct word-3-gram shingles per doc.
+
+    The token array is projected ONCE before the n-gram transform: a
+    lambda over the raw ``split(text)`` expression would re-evaluate the
+    split per produced shingle (O(len²) per doc — measured 40x slower).
+    """
+    d = _docs(spark, sf).select("doc_id", _tokens_col().alias("toks"))
+    arr = F.col("toks")
     sh = F.when(
         F.size(arr) >= 3,
         F.transform(
@@ -58,8 +64,7 @@ def _shingles(spark: SparkSession, sf: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(arr, i, 3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (_docs(spark, sf)
-            .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh")))
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
 _TOK_SQL = """
@@ -291,6 +296,30 @@ def q_simhash_pairs(spark, sf):
     return dedup.simhash_near_dups(sh, max_distance=8)
 
 
+def q_summarize_lead(spark, sf):
+    """Summarizer hook (§2.9-7, Summarizer.py semantics): deterministic
+    lead-based fake behind the pluggable BART interface — rows-only
+    contract entry (the sentence-accumulation rule is not ANSI SQL)."""
+    from .operators import mlhooks
+    return mlhooks.summarize(_docs(spark, sf).select("doc_id", "text"))\
+        .select("doc_id", "summary")
+
+
+def q_doc2query_expand(spark, sf):
+    """doc2query hook (§2.9-7, Doc2Query.py:7-21 semantics): pluggable
+    generator (deterministic fake) appends tokenized expansions to the
+    token array — rows-only contract entry (lemmatizing tokenizer is not
+    ANSI SQL). Returns per-doc token counts before/after expansion."""
+    from .operators import mlhooks
+    docs = _docs(spark, sf).select(
+        "doc_id", "text", _tokens_col().alias("single_tokens"))
+    out = mlhooks.doc2query_expand(docs)
+    return out.select(
+        "doc_id",
+        F.size(_tokens_col()).alias("n_tokens_before"),
+        F.size("single_tokens").alias("n_tokens_after"))
+
+
 def q_union_dedup_rank(spark, sf):
     """U1: rank-preserving union of two retrieval runs (BM25 ≻ tf-sum),
     keep the first occurrence per doc — deterministic via priority
@@ -314,13 +343,14 @@ def q_union_dedup_rank(spark, sf):
 
 def q_text_quality(spark, sf):
     """Quality scoring: token count, stopword ratio, mean token length."""
-    toks = _tokens_col()
+    d = _docs(spark, sf).select("doc_id", _tokens_col().alias("toks"))
+    toks = F.col("toks")
     sw = F.array(*[F.lit(s) for s in STOPWORD_SAMPLE])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     total_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t)),
         F.lit(0), lambda acc, v: acc + v)
-    return _docs(spark, sf).select(
+    return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.round(n_sw.cast("double") / F.size(toks), 6)
@@ -331,12 +361,13 @@ def q_text_quality(spark, sf):
 
 def q_lang_id_heuristic(spark, sf):
     """Language-ID heuristic: en vs de stopword hits."""
-    toks = _tokens_col()
+    d = _docs(spark, sf).select("doc_id", _tokens_col().alias("toks"))
+    toks = F.col("toks")
     en = F.array(*[F.lit(s) for s in STOPWORD_SAMPLE])
     de = F.array(*[F.lit(s) for s in DE_SAMPLE])
     n_en = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
     n_de = F.size(F.filter(toks, lambda t: F.array_contains(de, t)))
-    return _docs(spark, sf).select(
+    return d.select(
         "doc_id",
         F.when(n_en >= n_de, F.lit("en")).otherwise(F.lit("de"))
         .alias("lang_guess"))
@@ -365,6 +396,67 @@ def q_events_user_topk(spark, sf):
     w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
     return (totals.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 20))
+
+
+def q_source_stats(spark, sf):
+    """A10+A11: docs per source with long-tail rollup — sources owning
+    < 5% of the corpus fold into 'other' (DocumentsStatistics.py:8-38
+    '2small2notice' semantics)."""
+    docs = _docs(spark, sf)
+    total = docs.count()
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    rolled = per.select(
+        F.when(F.col("n") < 0.05 * total, F.lit("other"))
+        .otherwise(F.col("source")).alias("source_group"), "n")
+    return rolled.groupBy("source_group").agg(F.sum("n").alias("n_docs"))
+
+
+EVAL_K = 50
+
+
+def q_eval_metrics(spark, sf):
+    """R3-R5: MRR@k, NDCG@k, MAP@k of the BM25 run against deterministic
+    qrels (doc_id % 3 == 0 is relevant), replicating the reference's
+    quirks: binary gain; IDCG over ALL ground-truth results
+    (EvaluatePage.py:30-41); AP divided by |gt|, not min(k,|gt|)
+    (EvaluatePage.py:43-51)."""
+    run = q_bm25_topk(spark, sf).where(F.col("rank") <= EVAL_K)
+    hits = run.withColumn("rel", (F.col("doc_id") % 3 == 0).cast("int"))
+    n_gt = _docs(spark, sf).where(F.col("doc_id") % 3 == 0).count()
+    w = Window.orderBy("rank")
+    prec = (F.sum("rel").over(w) / F.col("rank")) * F.col("rel")
+    agg = (hits
+           .withColumn("prec_at_hit", prec)
+           .agg(
+               F.coalesce(1.0 / F.min(F.when(F.col("rel") == 1,
+                                             F.col("rank"))), F.lit(0.0))
+               .alias("mrr"),
+               F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("dcg"),
+               F.sum("prec_at_hit").alias("sum_prec")))
+    idcg = sum(1.0 / __import__("math").log2(i + 1)
+               for i in range(1, n_gt + 1))
+    return agg.select(
+        F.round("mrr", 6).alias("mrr"),
+        F.round(F.col("dcg") / F.lit(idcg), 6).alias("ndcg"),
+        F.round(F.col("sum_prec") / F.lit(float(n_gt)), 6).alias("map"))
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessions(spark, sf):
+    """Sessionization (lag window): a new session starts after a
+    >30-min gap; per-user session counts."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1)\
+        .otherwise(0)
+    return (ev.withColumn("new_sess", is_new)
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
 
 
 def q_tpch_pricing_summary(spark, sf):
@@ -635,6 +727,73 @@ ranked AS (SELECT user_id, total_value,
 SELECT user_id, total_value, rank FROM ranked WHERE rank <= 20
 """
 
+_ORACLE["source_stats"] = """
+WITH total AS (SELECT count(*) AS t FROM documents),
+per AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+SELECT CASE WHEN n < 0.05 * total.t THEN 'other' ELSE source END
+           AS source_group,
+       sum(n) AS n_docs
+FROM per, total GROUP BY 1
+"""
+
+_BM25_RUN_SQL = f"""
+{_TOK_SQL},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+idf AS (SELECT term, ln(stats.n / count(*)) AS idf
+        FROM tf, stats GROUP BY term, stats.n),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)}),
+scored AS (
+    SELECT tf.doc_id,
+           round(sum(idf.idf * (tf.tf * ({K1} + 1)) /
+                     (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))), 6)
+           AS score
+    FROM tf JOIN q USING (term)
+            JOIN dl USING (doc_id)
+            JOIN idf USING (term), stats
+    GROUP BY tf.doc_id
+),
+run AS (SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored)
+"""
+
+_ORACLE["eval_metrics"] = f"""
+WITH {_BM25_RUN_SQL},
+topk AS (SELECT doc_id, rank, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+             AS rel
+         FROM run WHERE rank <= {EVAL_K}),
+gt AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 = 0),
+idcg AS (SELECT sum(1.0 / log2(rn + 1)) AS v
+         FROM (SELECT row_number() OVER (ORDER BY doc_id) AS rn
+               FROM documents WHERE doc_id % 3 = 0)),
+hits AS (SELECT rank, rel,
+                (sum(rel) OVER (ORDER BY rank) * 1.0 / rank) * rel
+                AS prec_at_hit
+         FROM topk)
+SELECT round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rank END), 0.0), 6)
+           AS mrr,
+       round(sum(rel / log2(rank + 1)) / (SELECT v FROM idcg), 6) AS ndcg,
+       round(sum(prec_at_hit) / (SELECT n FROM gt), 6) AS map
+FROM hits
+"""
+
+_ORACLE["events_sessions"] = f"""
+WITH g AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w)
+                        > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
 _ORACLE["tpch_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity::DECIMAL(18,4)) AS sum_qty,
@@ -674,12 +833,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
     "simhash_pairs": q_simhash_pairs,       # rows-only (no SQL twin)
+    "summarize_lead": q_summarize_lead,     # rows-only (model hook)
+    "doc2query_expand": q_doc2query_expand,  # rows-only (model hook)
     "union_dedup_rank": q_union_dedup_rank,
     "text_quality": q_text_quality,
     "lang_id_heuristic": q_lang_id_heuristic,
     "token_count_regex": q_token_count_regex,
     "events_agg": q_events_agg,
     "events_user_topk": q_events_user_topk,
+    "events_sessions": q_events_sessions,
+    "source_stats": q_source_stats,
+    "eval_metrics": q_eval_metrics,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "orders_by_segment": q_orders_by_segment,
 }

@@ -49,46 +49,17 @@ def filter_fetchable(pages: DataFrame) -> DataFrame:
 def extract_pages(pages: DataFrame, ngram_max: int = 3) -> DataFrame:
     """pages(url, warc_ts, html, ...) → extracted documents table.
 
-    One Arrow-batched UDF pass computes the full extraction struct
-    (Document.py:66-96); a second computes index tokens + field-weight
-    membership sets (DocumentIndex.py:112-141); a third the simhash.
-    ``html`` is dropped immediately after — downstream stages must never
+    ONE fused Arrow-batched ``mapInPandas`` pass computes the extraction
+    struct (Document.py:66-96), index tokens + field-weight membership
+    sets (DocumentIndex.py:112-141) and the simhash (Document.py:155-180)
+    — one python worker per task slot, one Arrow serialization of the
+    extracted row (vs 3 chained UDFs = 3 workers + 3 round-trips).
+    ``html`` is consumed inside the map stage — downstream stages never
     carry the wide binary column (column pruning by construction).
     """
     gated = filter_fetchable(pages)
-    ex = gated.withColumn("ex", udfs.extract_udf("url", "html"))
-    tok = udfs.make_index_tokens_udf(ngram_max)
-    out = (
-        ex.select(
-            "url", "warc_ts",
-            F.col("ex.doc_id").alias("doc_id"),
-            F.col("ex.title").alias("title"),
-            F.col("ex.description").alias("description"),
-            F.col("ex.keywords").alias("keywords"),
-            F.col("ex.icon_url").alias("icon_url"),
-            F.col("ex.last_modified").alias("last_modified"),
-            F.col("ex.headings").alias("headings"),
-            F.col("ex.text_emphasis").alias("text_emphasis"),
-            F.col("ex.links").alias("links"),
-            F.col("ex.text").alias("text"),
-            F.col("ex.single_tokens").alias("single_tokens"),
-            F.col("ex.language").alias("language"),
-        )
-        .withColumn("it", tok("single_tokens", "title",
-                              "headings", "text_emphasis"))
-        .withColumn("sh", udfs.simhash_udf("single_tokens"))
-        .select(
-            "*",
-            F.col("it.tokens").alias("tokens"),
-            F.col("it.title_terms").alias("title_terms"),
-            F.col("it.heading_terms").alias("heading_terms"),
-            F.col("it.emphasis_terms").alias("emphasis_terms"),
-            F.col("sh.sim_hi").alias("sim_hi"),
-            F.col("sh.sim_lo").alias("sim_lo"),
-        )
-        .drop("it", "sh")
-    )
-    return out
+    return gated.select("url", "warc_ts", "html").mapInPandas(
+        udfs.make_extract_full_fn(ngram_max), schema=udfs.EXTRACTED_SCHEMA)
 
 
 def filter_index_docs(extracted: DataFrame) -> DataFrame:
@@ -124,11 +95,38 @@ def corpus_stats(indexed_docs: DataFrame) -> dict:
             "avg_date_ts": row["avg_date_ts"]}
 
 
-def build_tf(indexed_docs: DataFrame) -> DataFrame:
-    """(doc_id, term, tf) — A1. explode + algebraic count; map-side
-    partial aggregation absorbs head-term skew."""
+def _ngrams_col(arr, n: int):
+    """Space-joined n-grams of an array column — exactly
+    ``textlib.ngrams`` (JVM-side, whole-stage-codegen'd)."""
+    if n == 1:
+        return F.coalesce(arr, F.array().cast("array<string>"))
+    return F.when(
+        F.size(arr) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(arr) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(arr, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def index_terms_col(ngram_max: int = 3):
+    """The full index-token multiset (T5 order: doc 1..n-grams, then
+    title 1..n-grams appended) derived from the stored unigram arrays.
+    Byte-identical to ``textlib.tokenize(joined, n) + tokenize(title, n)``
+    since n-grams are pure space-joins of the cleaned unigrams."""
+    parts = [_ngrams_col(F.col("doc_unigrams"), n)
+             for n in range(1, ngram_max + 1)]
+    parts += [_ngrams_col(F.col("title_unigrams"), n)
+              for n in range(1, ngram_max + 1)]
+    return F.concat(*parts)
+
+
+def build_tf(indexed_docs: DataFrame, ngram_max: int = 3) -> DataFrame:
+    """(doc_id, term, tf) — A1. JVM n-gram expansion + explode +
+    algebraic count; map-side partial aggregation absorbs head-term
+    skew. The 6x n-gram blow-up exists only inside this stage's explode,
+    never in storage."""
     return (
-        indexed_docs.select("doc_id", F.explode("tokens").alias("term"))
+        indexed_docs.select(
+            "doc_id", F.explode(index_terms_col(ngram_max)).alias("term"))
         .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
 
@@ -226,7 +224,7 @@ def build_index(pages: DataFrame, ngram_max: int = 3,
     extracted = extract_pages(pages, ngram_max)
     indexed = filter_index_docs(extracted)
     stats = corpus_stats(indexed)
-    tf = build_tf(indexed)
+    tf = build_tf(indexed, ngram_max)
     doc_len = build_doc_len(tf)
     term_stats = build_term_stats(tf, stats["N"])
     doc_fields = build_doc_fields(indexed, stats["avg_date_ts"], now)

@@ -47,7 +47,7 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         with open(stats_path, "w") as f:
             json.dump(stats, f)
 
-    tf = sw.write_stage(indexing.build_tf(indexed), "tf",
+    tf = sw.write_stage(indexing.build_tf(indexed, ngram_max), "tf",
                         inputs=("extracted",))
     term_stats = sw.write_stage(
         indexing.build_term_stats(tf, stats["N"]), "term_stats",
@@ -59,14 +59,14 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         indexing.build_bm25_postings(tf, term_stats, doc_len, doc_fields,
                                      stats["avgdl"], n_buckets),
         "bm25_postings", inputs=("tf", "term_stats"),
-        partition_by=["bucket"])
+        partition_by=["bucket"], sort_within=["term"])
 
     compressed = sw.write_stage(
         postings.build_compressed_postings(bm25, n_salts=n_salts,
                                            n_shards=n_shards,
                                            n_buckets=n_buckets),
         "postings_compressed", inputs=("bm25_postings",),
-        partition_by=["bucket"])
+        partition_by=["bucket"], sort_within=["term", "shard"])
 
     doc_dim = sw.write_stage(postings.doc_dim(bm25), "doc_dim",
                              inputs=("bm25_postings",))

@@ -20,8 +20,19 @@ def get_spark(app_name: str = "modern-search-engines-spark",
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     b = (
         SparkSession.builder.appName(app_name).master(master)
+        # -- local-mode heap: everything (driver+executors) lives in one
+        #    JVM; the 1g default OOMs on wide token-array rows. Applied at
+        #    first JVM launch; later sessions in the same process inherit.
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
+        # -- throughput GC: G1's GCLocker stalls serialize 32 allocation-
+        #    heavy task threads + Arrow native I/O in one local JVM;
+        #    ParallelGC measured ~2x faster on the full index build
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         # -- determinism
         .config("spark.sql.session.timeZone", "UTC")
         # -- adaptive execution: runtime shuffle coalescing + skew splits
@@ -31,8 +42,16 @@ def get_spark(app_name: str = "modern-search-engines-spark",
         # -- Arrow for pandas UDFs (the extraction/tokenize hot path)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # -- scans: keep splits memory-bounded for wide html rows
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # -- scans: zstd token-array/posting tables compress ~10:1, so a
+        #    128m split carries >1 GiB of decompressed, CPU-dense work and
+        #    strangles scan parallelism at bench scale (measured 3x on the
+        #    tf stage). 8m keeps ~1 file per split locally; a cluster-scale
+        #    deployment reading TB tables raises this via env.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
+        # -- vectorized-reader batches: extracted rows carry 1..3-gram
+        #    token arrays (KBs/row); 4096-row column vectors blow the heap
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # -- quieter driver
         .config("spark.ui.showConsoleProgress", "false")

@@ -75,6 +75,7 @@ class StageWriter:
 
     def write_stage(self, df: DataFrame, name: str,
                     partition_by: list[str] | None = None,
+                    sort_within: list[str] | None = None,
                     inputs: tuple[str, ...] = ()) -> DataFrame:
         """Write (or resume) one stage; returns the stage read back from
         disk so downstream plans scan the materialized table (a real
@@ -89,6 +90,14 @@ class StageWriter:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
 
+        if partition_by:
+            # co-locate each partition value on one task before the
+            # partitioned write — otherwise every shuffle partition opens a
+            # file in every partition dir (64 tasks x 64 buckets = 4096
+            # tiny files; measured 4-8x slowdown on the downstream scan)
+            df = df.repartition(*partition_by)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
         obs = Observation(f"{name}-{uuid.uuid4().hex[:8]}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         t0 = time.time()
