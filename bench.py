@@ -104,12 +104,16 @@ def machine_ceiling(lo: int, hi: int) -> float:
     to (gVisor + SMT + host contention make 4x threads < 4x throughput
     even for embarrassingly-parallel work)."""
     import multiprocessing as mp
+    time.sleep(5)  # let JVM shutdown/page-cache churn settle
     times = {}
     for procs in (lo, hi):
-        t0 = time.time()
-        with mp.Pool(procs) as p:
-            p.map(_burn, [4_000_000] * (hi * 8))
-        times[procs] = time.time() - t0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(_burn, [4_000_000] * (hi * 8))
+            best = min(best, time.time() - t0)
+        times[procs] = best
     return (times[lo] / times[hi]) / (hi / lo)
 
 
@@ -146,6 +150,35 @@ def main() -> None:
         queries["machine_parallel_ceiling"] = round(ceiling, 3)
         queries["scaling_efficiency_vs_ceiling"] = round(
             min(eff / ceiling, 1.0), 3) if ceiling > 0 else 0.0
+
+        # second N->4N datapoint at 1->4 cores: below the sandbox's
+        # contention knee (the 4->16 pair is capped by the machine's own
+        # ~0.85 ceiling), on a proportionally smaller slice of the SAME
+        # pages table.
+        if lo > 1:
+            # big enough that fixed overheads (~10 s) are noise at
+            # local[1] (~100 s), small enough to keep the pair ~2.5 min
+            n_small = max(8000, n_pages // 8)
+            small_path = os.path.join(work, "pages_small")
+            sp = get_spark("bench-slice", master=f"local[{cpus}]")
+            try:
+                (sp.read.parquet(pages_path).limit(n_small)
+                 .repartition(16).write.mode("overwrite")
+                 .parquet(small_path))
+            finally:
+                sp.stop()
+            t1 = build_at(1, small_path, os.path.join(work, "idx1s"))
+            t4 = build_at(4, small_path, os.path.join(work, "idx4s"))
+            eff14 = (t1 / t4) / 4.0
+            ceil14 = machine_ceiling(1, 4)
+            queries["index_docs_per_sec_local1_small"] = round(
+                n_small / t1, 1)
+            queries["index_docs_per_sec_local4_small"] = round(
+                n_small / t4, 1)
+            queries["scaling_efficiency_1_4"] = round(eff14, 3)
+            queries["machine_parallel_ceiling_1_4"] = round(ceil14, 3)
+            queries["scaling_efficiency_1_4_vs_ceiling"] = round(
+                min(eff14 / ceil14, 1.0), 3) if ceil14 > 0 else 0.0
 
         # -- 2. query latency over the built index -----------------------
         spark = get_spark("bench-query", master=f"local[{hi}]",

@@ -143,6 +143,30 @@ def q_bm25_topk(spark, sf):
             .select("doc_id", "score", "rank"))
 
 
+def q_tfidf_topk(spark, sf):
+    """F11/J5: TF-IDF dot-product retrieval top-50 for the same query
+    terms (DocumentIndex.py:147-170 semantics: score = Σ (qtf·idf)·(tf·idf)
+    over matching terms; qtf=1 per distinct term here)."""
+    docs = _docs(spark, sf)
+    n = docs.count()
+    tf = _tf(spark, sf)
+    idf = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .withColumn("idf", F.log(F.lit(float(n)) / F.col("df"))))
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "term string")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(idf.select("term", "idf"), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * F.col("idf")
+                           * F.col("tf").cast("double")), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 50)
+            .select("doc_id", "score", "rank"))
+
+
 def q_lang_counts(spark, sf):
     """P11 gate analog: documents per language."""
     return _docs(spark, sf).groupBy("lang").agg(
@@ -262,6 +286,19 @@ def q_ann_lsh_topk(spark, sf):
             emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return (similarity.lsh_topk(emb, qvec, k=10, n_bits=8,
                                 multi_probe=False)
+            .select("vec_id", F.round("cos", 6).alias("cos"), "rank"))
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN top-10 (k-means coarse quantizer, n_probe=4) — rows-only
+    contract entry (k-means is not ANSI SQL); recall vs brute force is
+    asserted by tests/test_similarity_ivf.py."""
+    from .operators import similarity
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    assigned, centroids = similarity.train_ivf(emb, n_lists=8)
+    return (similarity.ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
             .select("vec_id", F.round("cos", 6).alias("cos"), "rank"))
 
 
@@ -444,6 +481,15 @@ def q_eval_metrics(spark, sf):
 SESSION_GAP_MIN = 30
 
 
+def q_events_windowed(spark, sf):
+    """Tumbling event-time window aggregate (the batch twin of the
+    watermarked streaming agg, streaming/windowed.py)."""
+    from .streaming import windowed
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return windowed.windowed_event_stats(ev).select(
+        "window_start", "event_type", "n_events", "sum_value")
+
+
 def q_events_sessions(spark, sf):
     """Sessionization (lag window): a new session starts after a
     >30-min gap; per-user session counts."""
@@ -529,6 +575,25 @@ scored AS (
     FROM tf JOIN q USING (term)
             JOIN dl USING (doc_id)
             JOIN idf USING (term), stats
+    GROUP BY tf.doc_id
+),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 50
+"""
+
+_ORACLE["tfidf_topk"] = f"""
+WITH {_TOK_SQL},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+n AS (SELECT count(*) AS n FROM documents),
+idf AS (SELECT term, ln(n.n / count(*)) AS idf
+        FROM tf, n GROUP BY term, n.n),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)}),
+scored AS (
+    SELECT tf.doc_id,
+           round(sum(idf.idf * idf.idf * tf.tf), 6) AS score
+    FROM tf JOIN q USING (term) JOIN idf USING (term)
     GROUP BY tf.doc_id
 ),
 ranked AS (SELECT doc_id, score,
@@ -780,6 +845,12 @@ SELECT round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rank END), 0.0), 6)
 FROM hits
 """
 
+_ORACLE["events_windowed"] = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
 _ORACLE["events_sessions"] = f"""
 WITH g AS (
     SELECT user_id,
@@ -823,6 +894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df_idf": q_term_df_idf,
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
+    "tfidf_topk": q_tfidf_topk,
     "lang_counts": q_lang_counts,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
@@ -831,6 +903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (k-means)
     "multimodal_features": q_multimodal_features,
     "simhash_pairs": q_simhash_pairs,       # rows-only (no SQL twin)
     "summarize_lead": q_summarize_lead,     # rows-only (model hook)
@@ -842,6 +915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_agg": q_events_agg,
     "events_user_topk": q_events_user_topk,
     "events_sessions": q_events_sessions,
+    "events_windowed": q_events_windowed,
     "source_stats": q_source_stats,
     "eval_metrics": q_eval_metrics,
     "tpch_pricing_summary": q_tpch_pricing_summary,

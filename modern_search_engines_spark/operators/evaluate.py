@@ -82,3 +82,14 @@ def evaluate_runs(runs: DataFrame, qrels: DataFrame) -> DataFrame:
             .select("qid", "mrr",
                     (F.col("dcg") / F.col("idcg")).alias("ndcg"),
                     (F.col("p_sum") / F.col("n_gt")).alias("map")))
+
+
+def summarize_by_model(metrics: DataFrame,
+                       model_col: str = "model") -> DataFrame:
+    """A12 (EvaluatePage.py:159-167): per-model mean and sample variance
+    of each metric (the reference's pandas groupby mean()/var())."""
+    aggs = []
+    for m in ("mrr", "ndcg", "map"):
+        aggs += [F.avg(m).alias(f"{m}_mean"),
+                 F.var_samp(m).alias(f"{m}_var")]
+    return metrics.groupBy(model_col).agg(*aggs)

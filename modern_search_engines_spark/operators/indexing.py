@@ -62,6 +62,36 @@ def extract_pages(pages: DataFrame, ngram_max: int = 3) -> DataFrame:
         udfs.make_extract_full_fn(ngram_max), schema=udfs.EXTRACTED_SCHEMA)
 
 
+JUNK_URL_PATTERNS = ("javascript:linkTo_UnCryptMailto", "tel:+")
+
+
+def filter_junk_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """P14 (Crawler.py:262-263): drop junk urls (obfuscated mailto
+    javascript handlers, tel: links). Applied to link frontiers and page
+    scans alike."""
+    cond = F.lit(True)
+    for pat in JUNK_URL_PATTERNS:
+        cond = cond & ~F.col(url_col).contains(pat)
+    return df.where(cond)
+
+
+def domain_stats(extracted: DataFrame, rollup_threshold: float = 0.05
+                 ) -> DataFrame:
+    """A10+A11 (DocumentsStatistics.py:8-38): pages per domain with the
+    '2small2notice' long-tail rollup — domains owning less than
+    ``rollup_threshold`` of the corpus fold into 'other'. Domain =
+    url host without the 'www.' prefix, all JVM-side."""
+    total = extracted.count()
+    per = (extracted.select(
+        F.regexp_replace(F.parse_url("url", F.lit("HOST")),
+                         r"^www\.", "").alias("domain"))
+        .groupBy("domain").agg(F.count(F.lit(1)).alias("n")))
+    return (per.select(
+        F.when(F.col("n") < rollup_threshold * total, F.lit("other"))
+        .otherwise(F.col("domain")).alias("domain"), "n")
+        .groupBy("domain").agg(F.sum("n").alias("n_pages")))
+
+
 def filter_index_docs(extracted: DataFrame) -> DataFrame:
     """The reference's index-time relevance gate (DocumentIndex.py:75-88 +
     Crawler.py:239-254, SURVEY.md P12/P13): effectively

@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .. import textlib
 
 
-def query_terms_df(spark: SparkSession, queries: list[tuple[str, str]],
-                   ngram_max: int = 3) -> DataFrame:
-    """(qid, term, qtf, w) — tokenize driver-side, keep term multiplicity
-    (BM25Ranker.py:51 counts duplicates) and the n-gram weight (F9)."""
+def query_term_rows(queries: list[tuple[str, str]],
+                    ngram_max: int = 3) -> list[tuple[str, str, int, float]]:
+    """(qid, term, qtf, w) rows — tokenize driver-side, keep term
+    multiplicity (BM25Ranker.py:51 counts duplicates) and the n-gram
+    weight (F9)."""
     rows = []
     for qid, query in queries:
         counts: dict[str, int] = {}
@@ -35,23 +36,43 @@ def query_terms_df(spark: SparkSession, queries: list[tuple[str, str]],
             counts[t] = counts.get(t, 0) + 1
         for term, qtf in counts.items():
             rows.append((qid, term, qtf, textlib.ngram_query_weight(term)))
-    return spark.createDataFrame(rows, "qid string, term string, "
-                                       "qtf long, w double")
+    return rows
+
+
+def query_terms_df(spark: SparkSession, queries: list[tuple[str, str]],
+                   ngram_max: int = 3) -> DataFrame:
+    return spark.createDataFrame(
+        query_term_rows(queries, ngram_max),
+        "qid string, term string, qtf long, w double")
 
 
 def prune_postings(postings: DataFrame, terms: DataFrame,
-                   n_buckets: int = 64) -> DataFrame:
+                   n_buckets: int = 64,
+                   term_list: list[str] | None = None) -> DataFrame:
     """Partition-prune the postings scan to the query terms' buckets.
 
     ``bucket`` is the postings table's partition column, so this predicate
     becomes parquet partition pruning — only the matching bucket
     directories are read (SURVEY.md §4 "bucketed postings").
+
+    Bucket ids come from the pure-python xxhash64 twin
+    (``functions.hashing``, canary-checked against the JVM) when the term
+    strings are available driver-side — computing a handful of hashes must
+    not cost a Spark job (~0.5 s of scheduling per query). Falls back to
+    the Spark job if ``term_list`` is absent and, on canary failure, stays
+    on the JVM path entirely.
     """
-    buckets = sorted({
-        r["b"] for r in
-        terms.select(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-                     .alias("b")).distinct().collect()
-    })
+    from ..functions import hashing
+
+    if term_list is not None and hashing.self_check():
+        buckets = sorted({hashing.bucket_of(t, n_buckets)
+                          for t in term_list})
+    else:
+        buckets = sorted({
+            r["b"] for r in
+            terms.select(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                         .alias("b")).distinct().collect()
+        })
     if not buckets:
         return postings.where(F.lit(False))
     return postings.where(F.col("bucket").isin(buckets))
@@ -105,11 +126,14 @@ def run_batch(spark: SparkSession, queries: list[tuple[str, str]],
 
     Returns (qid, rank, doc_id, score) ordered for the TSV run-file sink.
     """
-    terms = query_terms_df(spark, queries)
+    rows = query_term_rows(queries)
+    terms = spark.createDataFrame(
+        rows, "qid string, term string, qtf long, w double")
     if method == "bm25":
         postings = index["bm25_postings"]
         if prune and "bucket" in postings.columns:
-            postings = prune_postings(postings, terms, n_buckets)
+            postings = prune_postings(postings, terms, n_buckets,
+                                      term_list=[r[1] for r in rows])
         scored = score_bm25(postings, terms)
     elif method == "tfidf":
         scored = score_tfidf(index["tfidf"], index["term_stats"], terms)

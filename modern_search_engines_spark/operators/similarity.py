@@ -64,3 +64,52 @@ def lsh_topk(emb: DataFrame, qvec: list[float], k: int = 10,
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def train_ivf(emb: DataFrame, n_lists: int = 16, seed: int = 7):
+    """IVF coarse quantizer: k-means centroids over the embedding column
+    (pyspark.ml, seeded). Returns (assigned_df, centroids) where
+    ``assigned_df`` carries a ``list_id`` column — the IVF partition key
+    when the table is persisted (scan prunes to probed lists)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.withColumn(
+        "fv", array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="fv",
+                predictionCol="list_id")
+    model = km.fit(vecs)
+    assigned = (model.transform(vecs).drop("fv"))
+    centroids = [list(c) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def _nearest_lists(qvec: list[float], centroids: list[list[float]],
+                   n_probe: int) -> list[int]:
+    import math
+    nq = math.sqrt(sum(x * x for x in qvec)) or 1.0
+
+    def cos(c):
+        dot = sum(a * b for a, b in zip(qvec, c))
+        nc = math.sqrt(sum(x * x for x in c)) or 1.0
+        return dot / (nc * nq)
+
+    order = sorted(range(len(centroids)),
+                   key=lambda i: (-cos(centroids[i]), i))
+    return order[:n_probe]
+
+
+def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
+             qvec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+    """(vec_id, cos, rank) — IVF search: rank the ``n_probe`` nearest
+    inverted lists driver-side (centroids are tiny), exact cosine inside
+    the probed lists only. At 10^9+-vector scale ``list_id`` is the
+    table's partition column, so the scan reads n_probe/n_lists of the
+    data; recall is tunable via n_probe (=n_lists ⇒ exact)."""
+    lists = _nearest_lists(qvec, centroids, n_probe)
+    scored = (assigned.where(F.col("list_id").isin(lists))
+              .select("vec_id", _cos_expr(qvec).alias("cos")))
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

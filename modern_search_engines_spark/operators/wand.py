@@ -150,13 +150,16 @@ def run_wand(spark: SparkSession, queries: list[tuple[str, str]],
     """
     from . import query as qmod
 
-    terms = qmod.query_terms_df(spark, queries)
+    rows = qmod.query_term_rows(queries)
+    terms = spark.createDataFrame(
+        rows, "qid string, term string, qtf long, w double")
     terms = terms.select(
         "qid", "term",
         (F.col("qtf").cast("double") * F.col("w")).alias("mult"))
     work = compressed
     if prune and "bucket" in compressed.columns:
-        work = qmod.prune_postings(compressed, terms, n_buckets)
+        work = qmod.prune_postings(compressed, terms, n_buckets,
+                                   term_list=[r[1] for r in rows])
     joined = work.join(F.broadcast(terms), "term")
 
     def _wand_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -170,9 +173,15 @@ def run_wand(spark: SparkSession, queries: list[tuple[str, str]],
     shard_tops = joined.groupBy("qid", "shard").applyInPandas(
         _wand_group, schema="qid string, doc_idx long, score double")
 
+    # shard-local top-ks merge through one window exchange (≤ k·shards
+    # rows per query — the exchange moves almost nothing)
     w = F.row_number().over(
         Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_idx")))
-    return (shard_tops.withColumn("rank", w).where(F.col("rank") <= k)
-            .join(doc_dim, "doc_idx")
+    ranked = shard_tops.withColumn("rank", w).where(F.col("rank") <= k)
+    # J2 materialization: AQE broadcasts the smaller side (doc_dim at
+    # bench scale — cheap, and it keeps the expensive WAND stage free of
+    # a broadcast barrier). At 10^12-doc scale doc_dim is partitioned on
+    # doc_idx and the k·|queries| ranked side becomes the broadcast.
+    return (ranked.join(doc_dim, "doc_idx")
             .select("qid", "rank", "doc_id", "score")
             .orderBy("qid", "rank"))

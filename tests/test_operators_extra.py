@@ -160,6 +160,19 @@ def test_evaluate_runs_distributed_matches_driver(spark):
     assert rows["q2"]["mrr"] == 0.0
 
 
+def test_summarize_by_model(spark):
+    metrics = spark.createDataFrame(
+        [("bm25", 1.0, 0.5, 0.2), ("bm25", 0.5, 0.7, 0.4),
+         ("tfidf", 0.25, 0.1, 0.1)],
+        "model string, mrr double, ndcg double, map double")
+    rows = {r["model"]: r for r in
+            evaluate.summarize_by_model(metrics).collect()}
+    assert rows["bm25"]["mrr_mean"] == pytest.approx(0.75)
+    assert rows["bm25"]["mrr_var"] == pytest.approx(0.125)  # sample var
+    assert rows["tfidf"]["ndcg_mean"] == pytest.approx(0.1)
+    assert rows["tfidf"]["ndcg_var"] is None  # var_samp of 1 row
+
+
 # ---------------------------------------------------------------------------
 # rerank (MMR, reference quirks)
 # ---------------------------------------------------------------------------

