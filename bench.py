@@ -86,6 +86,7 @@ def build_at(parallelism: int, pages_path: str, out_dir: str,
             best = min(best, time.time() - t0)
         finally:
             spark.stop()
+            time.sleep(3)  # let JVM/page-cache churn settle (gVisor)
             if r != repeats - 1:
                 shutil.rmtree(f"{out_dir}.warm{r}", ignore_errors=True)
     return best

@@ -1,0 +1,60 @@
+"""spark-submit entry point: staged, resumable index build.
+
+    zip -r mse.zip modern_search_engines_spark
+    spark-submit --py-files mse.zip jobs/build_index.py \
+        --pages /data/pages_parquet --out /data/index \
+        [--ngram-max 3] [--n-buckets 64] [--n-salts 8] [--n-shards 1] \
+        [--synthetic N]
+
+The same script runs on a multi-executor cluster (north rule: "runs via
+spark-submit --py-files on multi-executor clusters") — only
+--master/executor sizing differ, supplied by spark-submit. Re-running
+with the same --out resumes from the last complete stage. Prints one
+JSON line of per-stage lineage/row/byte metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="pages parquet path "
+                    "(url, warc_ts, html[, text, lang])")
+    ap.add_argument("--out", required=True, help="index output dir")
+    ap.add_argument("--ngram-max", type=int, default=3)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--n-salts", type=int, default=8)
+    ap.add_argument("--n-shards", type=int, default=1)
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic pages instead of --pages")
+    args = ap.parse_args(argv)
+
+    from modern_search_engines_spark.plans.build import build_persistent_index
+    from modern_search_engines_spark.session import get_spark
+
+    spark = get_spark("mse-build-index")
+    try:
+        if args.synthetic:
+            from modern_search_engines_spark import corpus
+            pages = corpus.pages_df(spark, args.synthetic, seed=42)
+        elif args.pages:
+            pages = spark.read.parquet(args.pages)
+        else:
+            ap.error("one of --pages or --synthetic is required")
+        idx = build_persistent_index(
+            spark, pages, args.out, ngram_max=args.ngram_max,
+            n_buckets=args.n_buckets, n_salts=args.n_salts,
+            n_shards=args.n_shards, verbose=True)
+        print(json.dumps({"stats": idx["stats"],
+                          "stages": idx["writer"].metrics()}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,64 @@
+"""End-to-end spark-submit --py-files run of the job entry points
+(north rule: "runs via spark-submit --py-files"). Builds a tiny index
+and runs a TSV query batch through the WAND path, in subprocesses."""
+
+import csv
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+
+@pytest.mark.slow
+def test_spark_submit_build_and_query(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pyz = str(tmp_path / "mse.zip")
+    with zipfile.ZipFile(pyz, "w") as z:
+        pkg = os.path.join(repo, "modern_search_engines_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+
+    idx = str(tmp_path / "idx")
+    env = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": "2g",
+           "SPARK_GRAFT_CPUS": "4"}
+    base = [spark_submit, "--master", "local[4]", "--py-files", pyz]
+
+    r = subprocess.run(
+        base + [os.path.join(repo, "jobs", "build_index.py"),
+                "--synthetic", "40", "--out", idx],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(idx, "postings_compressed"))
+
+    qf = str(tmp_path / "queries.tsv")
+    with open(qf, "w") as f:
+        f.write("q1\tcastle museum\nq2\ttravel guide\n")
+    out = str(tmp_path / "run")
+    r = subprocess.run(
+        base + [os.path.join(repo, "jobs", "run_queries.py"),
+                "--index", idx, "--queries", qf, "--out", out,
+                "--k", "10", "--method", "wand"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    rows = []
+    for name in sorted(os.listdir(out)):
+        if name.startswith("part-"):
+            with open(os.path.join(out, name)) as f:
+                rows += list(csv.reader(f, delimiter="\t"))
+    assert rows, "empty run file"
+    qids = {r[0] for r in rows}
+    assert qids <= {"q1", "q2"}
+    for qid, rank, url, score in rows:
+        assert rank.isdigit() and url.startswith("http")
+        float(score)
