@@ -59,9 +59,7 @@ def extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
             h = bytes(h).decode("utf-8", errors="replace")
         ex = htmlx.extract_page(u, h)
         single = textlib.tokenize(ex["text"], 1)
-        root = htmlx.parse_html(h)
-        html_tag = root.find("html")
-        html_lang = html_tag.attrs.get("lang") if html_tag is not None else None
+        html_lang = ex["html_lang"]
         lang = textlib.detect_document_language(single, html_lang)
         rows.append({
             "doc_id": hashlib.md5(u.encode("utf-8")).hexdigest(),
@@ -217,10 +215,7 @@ def extract_document(url: str, html: str, ngram_max: int = 3) -> dict:
     """One page → one fully-extracted row (pure; shared spec-as-code)."""
     ex = htmlx.extract_page(url, html)
     single = textlib.tokenize(ex["text"], 1)
-    root = htmlx.parse_html(html)
-    html_tag = root.find("html")
-    html_lang = html_tag.attrs.get("lang") if html_tag is not None else None
-    lang = textlib.detect_document_language(single, html_lang)
+    lang = textlib.detect_document_language(single, ex["html_lang"])
 
     doc_unigrams = (textlib.tokenize(" ".join(single), 1)
                     if ngram_max > 1 else list(single))

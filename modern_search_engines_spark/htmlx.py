@@ -184,6 +184,9 @@ def extract_page(url: str, html: str) -> dict:
     """
     root = parse_html(html)
 
+    html_tag = root.find("html")
+    html_lang = html_tag.attrs.get("lang") if html_tag is not None else None
+
     title_node = root.find("title")
     title = title_node.get_text() if title_node is not None else ""
 
@@ -260,6 +263,7 @@ def extract_page(url: str, html: str) -> dict:
 
     return {
         "url": url,
+        "html_lang": html_lang,
         "title": title,
         "description": description,
         "keywords": keywords,

@@ -61,7 +61,7 @@ def doc_from_page(url: str, html: str) -> OracleDoc:
     import hashlib
     ex = htmlx.extract_page(url, html)
     single = textlib.tokenize(ex["text"], 1)
-    lang = textlib.detect_document_language(single, _html_lang(html))
+    lang = textlib.detect_document_language(single, ex["html_lang"])
     return OracleDoc(
         url=url,
         doc_id=hashlib.md5(url.encode("utf-8")).hexdigest(),

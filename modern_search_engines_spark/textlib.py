@@ -252,17 +252,17 @@ def simhash128(tokens: list[str]) -> int:
     tf: dict[str, int] = {}
     for t in tokens:
         tf[t] = tf.get(t, 0) + 1
-    v = [0] * 128
-    for token, count in tf.items():
-        h = int(hashlib.md5(token.encode("utf-8")).hexdigest(), 16)
-        w = count * count
-        for col in range(128):
-            bit = (h >> (127 - col)) & 1
-            v[col] += w if bit else -w
-    out = 0
-    for col in range(128):
-        out = (out << 1) | (1 if v[col] > 0 else 0)
-    return out
+    # vectorized bit matrix: md5 digest bytes are big-endian, so
+    # np.unpackbits (MSB-first) column c == (int(hexdigest,16) >> (127-c)) & 1
+    import numpy as np
+    digests = b"".join(hashlib.md5(t.encode("utf-8")).digest() for t in tf)
+    bits = np.unpackbits(
+        np.frombuffer(digests, dtype=np.uint8).reshape(len(tf), 16), axis=1)
+    w = np.fromiter((c * c for c in tf.values()), dtype=np.int64,
+                    count=len(tf))
+    v = ((bits.astype(np.int64) * 2 - 1) * w[:, None]).sum(axis=0)
+    packed = np.packbits((v > 0).astype(np.uint8)).tobytes()
+    return int.from_bytes(packed, "big")
 
 
 def hamming_distance(h1: int, h2: int) -> int:
