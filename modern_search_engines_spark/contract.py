@@ -302,6 +302,15 @@ def q_ann_ivf_topk(spark, sf):
             .select("vec_id", F.round("cos", 6).alias("cos"), "rank"))
 
 
+def q_winnow_fingerprint(spark, sf):
+    """Rolling-hash winnowing fingerprints (MOSS-style) per doc —
+    rows-only contract entry (stride-tricked Rabin-Karp is not ANSI
+    SQL); pair semantics are tested in tests/test_fingerprint.py."""
+    from .operators import fingerprint
+    return (fingerprint.fingerprint_docs(_docs(spark, sf))
+            .select("doc_id", F.size("fp").alias("n_fingerprints")))
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal plumbing: documents' text bytes as an opaque binary
     payload → mapInPandas feature extraction (deterministic fake decode);
@@ -904,6 +913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (k-means)
+    "winnow_fingerprint": q_winnow_fingerprint,  # rows-only (numpy)
     "multimodal_features": q_multimodal_features,
     "simhash_pairs": q_simhash_pairs,       # rows-only (no SQL twin)
     "summarize_lead": q_summarize_lead,     # rows-only (model hook)
