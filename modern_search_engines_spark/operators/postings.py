@@ -84,6 +84,13 @@ def doc_dim(bm25_postings: DataFrame) -> DataFrame:
             .select(_doc_idx().alias("doc_idx"), "doc_id"))
 
 
+def doc_dim_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_idx, doc_id) derived from the docs display table —
+    ``doc_idx`` is a pure column expression of ``doc_id``, so the
+    mapping needs no build stage or storage of its own."""
+    return docs.select(_doc_idx().alias("doc_idx"), "doc_id")
+
+
 def build_compressed_postings(bm25_postings: DataFrame,
                               n_salts: int = 8,
                               n_shards: int = 1,

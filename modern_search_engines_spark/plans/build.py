@@ -68,10 +68,11 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         "postings_compressed", inputs=("bm25_postings",),
         partition_by=["bucket"], sort_within=["term", "shard"])
 
-    doc_dim = sw.write_stage(postings.doc_dim(bm25), "doc_dim",
-                             inputs=("bm25_postings",))
     docs = sw.write_stage(indexed.select(*DOCS_DISPLAY_COLS), "docs",
                           inputs=("extracted",))
+    # doc_idx is a pure expression of doc_id — derive the mapping from
+    # the docs table instead of building/storing a doc_dim stage
+    doc_dim = postings.doc_dim_from_docs(docs)
 
     return {
         "stats": stats,
@@ -90,13 +91,20 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
     """Open a previously built index directory."""
     with open(os.path.join(out_dir, STATS_FILE)) as f:
         stats = json.load(f)
+    from ..operators import postings as post
+
     rd = lambda n: spark.read.parquet(os.path.join(out_dir, n))  # noqa: E731
+    docs = rd("docs")
+    # back-compat: older indexes materialized doc_dim as its own table
+    dim_path = os.path.join(out_dir, "doc_dim")
+    doc_dim = (rd("doc_dim") if os.path.exists(dim_path)
+               else post.doc_dim_from_docs(docs))
     return {
         "stats": stats,
-        "docs": rd("docs"),
+        "docs": docs,
         "tf": rd("tf"),
         "term_stats": rd("term_stats"),
         "bm25_postings": rd("bm25_postings"),
         "postings_compressed": rd("postings_compressed"),
-        "doc_dim": rd("doc_dim"),
+        "doc_dim": doc_dim,
     }

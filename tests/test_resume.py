@@ -56,7 +56,7 @@ def test_resume_after_simulated_kill(spark, tmp_path, monkeypatch):
             .manifest("extracted")["commit_id"] == pre_commit)
 
     for stage in ("term_stats", "bm25_postings", "postings_compressed",
-                  "doc_dim"):
+                  "doc_dim", "docs"):
         assert _table_rows(resumed[stage]) == _table_rows(clean[stage]), stage
     assert resumed["stats"] == clean["stats"]
 
@@ -67,7 +67,7 @@ def test_stage_metrics_emitted(spark, tmp_path):
     metrics = res["writer"].metrics()
     names = {m["name"] for m in metrics}
     assert {"extracted", "tf", "term_stats", "bm25_postings",
-            "postings_compressed", "doc_dim", "docs"} <= names
+            "postings_compressed", "docs"} <= names
     for m in metrics:
         assert m["rows"] >= 0 and m["bytes"] > 0 and m["seconds"] >= 0
         assert m["status"] == "complete"
