@@ -30,12 +30,24 @@ DOCS_DISPLAY_COLS = ("doc_id", "url", "title", "description", "icon_url",
 def build_persistent_index(spark: SparkSession, pages: DataFrame,
                            out_dir: str, ngram_max: int = 3,
                            n_buckets: int = 64, n_salts: int = 8,
-                           n_shards: int = 1, verbose: bool = True) -> dict:
-    """Run (or resume) the full staged build; returns handles + stats."""
+                           n_shards: int = 1, n_extract_chunks: int = 1,
+                           verbose: bool = True) -> dict:
+    """Run (or resume) the full staged build; returns handles + stats.
+
+    ``n_extract_chunks`` > 1 commits the extraction stage per
+    url-hash-range chunk (per-partition checkpointing): a kill mid-
+    extraction resumes from the last complete chunk instead of
+    restarting the stage (sources/tables.py write_stage_chunked).
+    """
     sw = StageWriter(spark, out_dir, verbose=verbose)
 
-    extracted = sw.write_stage(
-        indexing.extract_pages(pages, ngram_max), "extracted")
+    if n_extract_chunks > 1:
+        extracted = sw.write_stage_chunked(
+            indexing.extract_pages(pages, ngram_max), "extracted",
+            n_chunks=n_extract_chunks, key_col="url")
+    else:
+        extracted = sw.write_stage(
+            indexing.extract_pages(pages, ngram_max), "extracted")
     indexed = indexing.filter_index_docs(extracted)
 
     stats_path = os.path.join(out_dir, STATS_FILE)

@@ -128,6 +128,77 @@ class StageWriter:
                   f"{elapsed:.1f}s")
         return self.spark.read.parquet(final)
 
+    def write_stage_chunked(self, df: DataFrame, name: str,
+                            n_chunks: int, key_col: str = "url",
+                            inputs: tuple[str, ...] = ()) -> DataFrame:
+        """Per-partition checkpointing (north rule): the stage is split
+        into ``n_chunks`` hash-ranges of ``key_col``, each committed
+        independently (temp + atomic rename + its own manifest). A
+        killed build resumes by skipping complete chunks — the
+        anti-join-on-completed-partitions pattern, at chunk granularity
+        instead of whole-stage.
+
+        On a real cluster the chunks map to Iceberg manifest/partition
+        ranges so each chunk scans only its input split; the local
+        parquet layout is ``<name>/chunk=<c>/``.
+        """
+        final, _, _ = self._paths(name)
+        lineage = self.lineage_of(*inputs)
+        pred = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))
+        for c in range(n_chunks):
+            cname = f"{name}/chunk={c}"
+            cfinal, ctmp, cmpath = self._paths(cname)
+            if self.is_complete(cname, lineage if inputs else None):
+                if self.verbose:
+                    print(f"[stage {cname}] resume: complete, skipping")
+                continue
+            shutil.rmtree(ctmp, ignore_errors=True)
+            shutil.rmtree(cfinal, ignore_errors=True)
+            sub = df.where(pred == c)
+            obs = Observation(f"{name}-c{c}-{uuid.uuid4().hex[:8]}")
+            sub = sub.observe(obs, F.count(F.lit(1)).alias("rows"))
+            t0 = time.time()
+            sub.write.mode("overwrite").parquet(ctmp)
+            elapsed = time.time() - t0
+            rows = obs.get["rows"]
+            os.makedirs(final, exist_ok=True)
+            os.rename(ctmp, cfinal)
+            with open(cmpath, "w") as f:
+                json.dump({
+                    "name": cname, "status": "complete",
+                    "commit_id": uuid.uuid4().hex, "chunk": c,
+                    "rows": rows, "bytes": _dir_bytes(cfinal),
+                    "seconds": round(elapsed, 3),
+                    "lineage": lineage,
+                }, f, indent=1)
+            if self.verbose:
+                print(f"[stage {cname}] {rows} rows, {elapsed:.1f}s")
+        # stage-level manifest summarizing the chunks; keep the existing
+        # one on a no-op resume so downstream lineage stays valid
+        existing = self.manifest(name)
+        if (existing and existing.get("status") == "complete"
+                and existing.get("chunks") == n_chunks
+                and existing.get("lineage") == lineage):
+            return self.spark.read.parquet(os.path.join(final, "chunk=*"))
+        chunk_manifests = [self.manifest(f"{name}/chunk={c}")
+                           for c in range(n_chunks)]
+        with open(os.path.join(final, MANIFEST), "w") as f:
+            json.dump({
+                "name": name, "status": "complete",
+                "commit_id": uuid.uuid4().hex,
+                "rows": sum(m["rows"] for m in chunk_manifests),
+                "bytes": _dir_bytes(final),
+                "seconds": sum(m["seconds"] for m in chunk_manifests),
+                "schema": df.schema.simpleString(),
+                "partition_by": [f"chunk({key_col}, {n_chunks})"],
+                "lineage": lineage,
+                "chunks": n_chunks,
+                "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime()),
+            }, f, indent=1)
+        return self.spark.read.parquet(
+            os.path.join(final, "chunk=*"))
+
     def metrics(self) -> list[dict]:
         """All stage manifests (the lineage/metrics report)."""
         out = []
