@@ -138,8 +138,20 @@ def main() -> None:
         lo = max(1, hi // 4)
         pages_path = os.path.join(work, "pages")
         materialize_pages(n_pages, pages_path, cpus)
-        t_lo = build_at(lo, pages_path, os.path.join(work, f"idx{lo}"))
-        t_hi = build_at(hi, pages_path, os.path.join(work, f"idx{hi}"))
+        # ABBA order: ambient machine drift (this sandbox has slow
+        # phases) hits both levels symmetrically instead of biasing the
+        # ratio toward whichever level ran in the quiet block. Fresh
+        # build dir per run (a reused dir would resume, not rebuild).
+        def run1(par, tag):
+            return build_at(par, pages_path,
+                            os.path.join(work, f"idx{tag}"), repeats=1)
+
+        t_lo = run1(lo, f"{lo}a")
+        t_hi = min(run1(hi, f"{hi}a"), run1(hi, f"{hi}"))
+        t_lo = min(t_lo, run1(lo, f"{lo}"))
+        for tag in (f"{lo}a", f"{hi}a"):
+            shutil.rmtree(os.path.join(work, f"idx{tag}"),
+                          ignore_errors=True)
         th_lo, th_hi = n_pages / t_lo, n_pages / t_hi
         eff = (th_hi / th_lo) / (hi / lo) if hi != lo else 1.0
         ceiling = machine_ceiling(lo, hi)
@@ -168,8 +180,14 @@ def main() -> None:
                  .parquet(small_path))
             finally:
                 sp.stop()
-            t1 = build_at(1, small_path, os.path.join(work, "idx1s"))
-            t4 = build_at(4, small_path, os.path.join(work, "idx4s"))
+            def run1s(par, tag):
+                return build_at(par, small_path,
+                                os.path.join(work, f"idx{tag}"),
+                                repeats=1)
+
+            t1 = run1s(1, "1sa")
+            t4 = min(run1s(4, "4sa"), run1s(4, "4s"))
+            t1 = min(t1, run1s(1, "1s"))
             eff14 = (t1 / t4) / 4.0
             ceil14 = machine_ceiling(1, 4)
             queries["index_docs_per_sec_local1_small"] = round(
