@@ -19,6 +19,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .operators.topk import ranked_topk
+
 K1, B = 1.5, 0.75
 BM25_QUERY_TERMS = ("data", "query", "spark")
 STOPWORD_SAMPLE = ("the", "a", "and", "of", "in", "to", "is")
@@ -121,7 +123,9 @@ def q_bm25_topk(spark, sf):
     J1+A9+O1/O2 over the documents table."""
     docs = _docs(spark, sf)
     n = docs.count()
-    tf = _tf(spark, sf)
+    # tf feeds three lineages (dl, idf, scoring): cache it once so the
+    # tokenize+explode+groupBy subtree doesn't execute three times.
+    tf = _tf(spark, sf).cache()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
     idf = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -137,10 +141,8 @@ def q_bm25_topk(spark, sf):
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("idf") * sat), 6).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 50)
-            .select("doc_id", "score", "rank"))
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], 50,
+                       key_col="doc_id").select("doc_id", "score", "rank")
 
 
 def q_tfidf_topk(spark, sf):
@@ -149,7 +151,7 @@ def q_tfidf_topk(spark, sf):
     over matching terms; qtf=1 per distinct term here)."""
     docs = _docs(spark, sf)
     n = docs.count()
-    tf = _tf(spark, sf)
+    tf = _tf(spark, sf).cache()  # feeds idf + scoring lineages
     idf = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
            .withColumn("idf", F.log(F.lit(float(n)) / F.col("df"))))
     qterms = spark.createDataFrame(
@@ -161,10 +163,8 @@ def q_tfidf_topk(spark, sf):
         .agg(F.round(F.sum(F.col("idf") * F.col("idf")
                            * F.col("tf").cast("double")), 6).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 50)
-            .select("doc_id", "score", "rank"))
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], 50,
+                       key_col="doc_id").select("doc_id", "score", "rank")
 
 
 def q_lang_counts(spark, sf):
@@ -260,9 +260,8 @@ def q_embedding_cosine_topk(spark, sf):
     nq = float(sum(float(x) * float(x) for x in qvec)) ** 0.5
     scored = emb.select(
         "vec_id", F.round(dot / (na * F.lit(nq)), 6).alias("cos"))
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 20))
+    return ranked_topk(scored, [F.desc("cos"), F.asc("vec_id")], 20,
+                       key_col="vec_id")
 
 
 def q_ann_lsh_buckets(spark, sf):
@@ -303,12 +302,19 @@ def q_ann_ivf_topk(spark, sf):
 
 
 def q_winnow_fingerprint(spark, sf):
-    """Rolling-hash winnowing fingerprints (MOSS-style) per doc —
-    rows-only contract entry (stride-tricked Rabin-Karp is not ANSI
-    SQL); pair semantics are tested in tests/test_fingerprint.py."""
+    """Rolling-hash winnowing fingerprints (MOSS-style) per doc.
+
+    Output pins the fingerprint SET per doc (count + min + max hash
+    value); the DuckDB twin recomputes the full Rabin-Karp-mod-2^61
+    winnowing in SQL (rolling hash as a HUGEINT dot product with the
+    embedded power table, window-of-W minima via a bounded frame).
+    Pair-join semantics are additionally tested in
+    tests/test_fingerprint.py."""
     from .operators import fingerprint
     return (fingerprint.fingerprint_docs(_docs(spark, sf))
-            .select("doc_id", F.size("fp").alias("n_fingerprints")))
+            .select("doc_id", F.size("fp").alias("n_fingerprints"),
+                    F.array_min("fp").alias("fp_min"),
+                    F.array_max("fp").alias("fp_max")))
 
 
 def q_multimodal_features(spark, sf):
@@ -327,9 +333,14 @@ def q_multimodal_features(spark, sf):
 
 
 def q_simhash_pairs(spark, sf):
-    """SimHash near-dup candidate pairs over the documents table —
-    rows-only contract entry (128-bit md5 simhash is not expressible in
-    ANSI SQL); the banded-join plan is the J3 scale path."""
+    """SimHash near-dup candidate pairs over the documents table.
+
+    The Spark plan is the banded-join J3 scale path (pigeonhole over 8
+    16-bit bands — never all-pairs). The DuckDB twin recomputes the
+    128-bit md5 simhash (tf² occurrence-weighting quirk included) from
+    hex nibbles in SQL and brute-forces all pairs with
+    bit_count(xor) hamming < 8 — identical output by the pigeonhole
+    guarantee (every pair at distance ≤ 7 shares ≥ 1 of 8 bands)."""
     from .functions import udfs
     from .operators import dedup
     docs = _docs(spark, sf).select(
@@ -344,8 +355,11 @@ def q_simhash_pairs(spark, sf):
 
 def q_summarize_lead(spark, sf):
     """Summarizer hook (§2.9-7, Summarizer.py semantics): deterministic
-    lead-based fake behind the pluggable BART interface — rows-only
-    contract entry (the sentence-accumulation rule is not ANSI SQL)."""
+    lead-based fake behind the pluggable BART interface. The DuckDB twin
+    restates the sentence-accumulation rule (sentences split on .!?,
+    accumulate while the running word count before the sentence is
+    < SUMMARY_MIN_WORDS, hard-cap at SUMMARY_MAX_WORDS words) with a
+    cumulative window + flatten."""
     from .operators import mlhooks
     return mlhooks.summarize(_docs(spark, sf).select("doc_id", "text"))\
         .select("doc_id", "summary")
@@ -354,8 +368,15 @@ def q_summarize_lead(spark, sf):
 def q_doc2query_expand(spark, sf):
     """doc2query hook (§2.9-7, Doc2Query.py:7-21 semantics): pluggable
     generator (deterministic fake) appends tokenized expansions to the
-    token array — rows-only contract entry (lemmatizing tokenizer is not
-    ANSI SQL). Returns per-doc token counts before/after expansion."""
+    token array. Returns per-doc token counts before/after expansion.
+
+    Oracle: the fake emits pseudo-queries from the top-frequent
+    qualifying tokens in 3-token chunks capped at 3·NUM_SAMPLES, and the
+    per-query re-tokenization (lemmatizer) is count-preserving, so
+    n_tokens_after − n_tokens_before = least(#distinct qualifying
+    tokens, 3·NUM_SAMPLES) — exactly what the DuckDB twin computes
+    (word/punct split + isalnum + stopword filter restated in SQL;
+    ASCII+ü alphabet, sufficient for this corpus and documented)."""
     from .operators import mlhooks
     docs = _docs(spark, sf).select(
         "doc_id", "text", _tokens_col().alias("single_tokens"))
@@ -439,9 +460,8 @@ def q_events_user_topk(spark, sf):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     totals = ev.groupBy("user_id").agg(
         F.round(F.sum("value"), 6).alias("total_value"))
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
-    return (totals.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 20))
+    return ranked_topk(totals, [F.desc("total_value"), F.asc("user_id")],
+                       20, key_col="user_id")
 
 
 def q_source_stats(spark, sf):
@@ -469,7 +489,10 @@ def q_eval_metrics(spark, sf):
     run = q_bm25_topk(spark, sf).where(F.col("rank") <= EVAL_K)
     hits = run.withColumn("rel", (F.col("doc_id") % 3 == 0).cast("int"))
     n_gt = _docs(spark, sf).where(F.col("doc_id") % 3 == 0).count()
-    w = Window.orderBy("rank")
+    # input is bounded by EVAL_K rows; fold-proof constant partition key
+    # keeps WindowExec off the unpartitioned (scale-hazard) path.
+    w = Window.partitionBy(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(1))).orderBy("rank")
     prec = (F.sum("rel").over(w) / F.col("rank")) * F.col("rel")
     agg = (hits
            .withColumn("prec_at_hit", prec)
@@ -515,17 +538,26 @@ def q_events_sessions(spark, sf):
 
 
 def q_tpch_pricing_summary(spark, sf):
-    """TPC-H Q1-style aggregate (generic agg path; DECIMAL-exact sums)."""
+    """TPC-H Q1-style aggregate (generic agg path).
+
+    Sums accumulate in DECIMAL(18,4) for exactness, then the FINAL value
+    is cast to double (and rounded) so both engines emit the same
+    float64 representation — Spark's widened DECIMAL(28,4) vs DuckDB's
+    DECIMAL(38,4) hash differently even when numerically equal.
+    """
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     dec = "decimal(18,4)"
+
+    def dsum(col, name):
+        return F.round(F.sum(col.cast(dec)).cast("double"), 6).alias(name)
+
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
-                 F.sum(F.col("l_extendedprice").cast(dec))
-                 .alias("sum_base_price"),
-                 F.sum((F.col("l_extendedprice")
-                        * (F.lit(1.0) - F.col("l_discount"))).cast(dec))
-                 .alias("sum_disc_price"),
+            .agg(dsum(F.col("l_quantity"), "sum_qty"),
+                 dsum(F.col("l_extendedprice"), "sum_base_price"),
+                 dsum(F.col("l_extendedprice")
+                      * (F.lit(1.0) - F.col("l_discount")),
+                      "sum_disc_price"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
@@ -536,8 +568,8 @@ def q_orders_by_segment(spark, sf):
     return (o.join(c, o.o_custkey == c.c_custkey)
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-                 .alias("sum_totalprice")))
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                         .cast("double"), 6).alias("sum_totalprice")))
 
 
 # ---------------------------------------------------------------------------
@@ -713,6 +745,186 @@ SELECT doc_id AS id,
 FROM documents
 """
 
+# --- summarize_lead: sentence-accumulation rule in SQL -----------------------
+
+def _summarize_sql() -> str:
+    from .operators.mlhooks import SUMMARY_MAX_WORDS, SUMMARY_MIN_WORDS
+    return f"""
+WITH sents AS (
+    SELECT doc_id,
+           string_split(replace(replace(text, '!', '.'), '?', '.'), '.') AS ss
+    FROM documents
+),
+numbered AS (
+    SELECT doc_id, unnest(ss) AS sent, generate_subscripts(ss, 1) AS i
+    FROM sents
+),
+words AS (
+    SELECT doc_id, i,
+           list_filter(string_split_regex(sent, '\\s+'), x -> x <> '') AS ws
+    FROM numbered
+),
+nonempty AS (
+    SELECT doc_id, i, ws,
+           coalesce(sum(len(ws)) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+    FROM words WHERE len(ws) > 0
+),
+joined AS (
+    SELECT doc_id, flatten(list(ws ORDER BY i)) AS allw
+    FROM nonempty WHERE prev < {SUMMARY_MIN_WORDS} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(array_to_string(list_slice(j.allw, 1, {SUMMARY_MAX_WORDS}),
+                ' '), '') AS summary
+FROM documents d LEFT JOIN joined j ON d.doc_id = j.doc_id
+"""
+
+
+_ORACLE["summarize_lead"] = _summarize_sql()
+
+# --- doc2query_expand: count-delta of the deterministic fake -----------------
+
+def _doc2query_sql() -> str:
+    from . import textlib
+    from .operators.mlhooks import NUM_SAMPLES
+    sw_sql = ", ".join(
+        "'" + s.replace("'", "''") + "'"
+        for s in sorted(textlib.ENGLISH_STOPWORDS))
+    cap = 3 * NUM_SAMPLES
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract_all(
+               replace(replace(replace(lower(text),
+                   'tuebingen', 'tübingen'), 'tubingen', 'tübingen'),
+                   'tübinger', 'tübingen'),
+               '[0-9a-zü_]+|[^0-9a-zü_ \\t\\n\\r]') AS wt
+    FROM documents
+)
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS n_tokens_before,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))
+       + least(len(list_distinct(list_filter(t.wt,
+             x -> regexp_matches(x, '^[0-9a-zü]+$')
+                  AND x NOT IN ({sw_sql})))), {cap}) AS n_tokens_after
+FROM documents JOIN toks t USING (doc_id)
+"""
+
+
+_ORACLE["doc2query_expand"] = _doc2query_sql()
+
+# --- winnow_fingerprint: Rabin-Karp + winnowing in SQL -----------------------
+
+def _winnow_sql() -> str:
+    from .operators.fingerprint import KGRAM as K, WINDOW as W, _BASE
+    powers, p = [], 1
+    for _ in range(K):
+        powers.append(p)
+        p = (p * int(_BASE)) % (1 << 64)
+    powers = powers[::-1]  # powers[j] = BASE^(K-1-j) mod 2^64
+    pw_sql = "[" + ",".join(str(x) for x in powers) + "]::HUGEINT[]"
+    # (Σ b·(BASE^p mod 2^64)) mod 2^64, then &(2^61−1)  ≡  Σ b·P_j mod 2^61
+    # because 2^61 | 2^64 — so one HUGEINT mod replaces the uint64 wraparound.
+    mod61 = 1 << 61
+    return f"""
+WITH s AS (
+    SELECT doc_id,
+           array_to_string(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')
+           AS s
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, s, len(s) - {K - 1} AS m,
+           unnest(generate_series(1, len(s) - {K - 1})) AS i
+    FROM s WHERE len(s) >= {K}
+),
+hashes AS (
+    SELECT doc_id, i, m,
+           (list_sum(list_transform(generate_series(0, {K - 1}),
+                j -> ({pw_sql})[j + 1]
+                     * unicode(substring(s, i + j, 1))))
+            % {mod61})::BIGINT AS h
+    FROM pos
+),
+mins AS (
+    SELECT doc_id, i, m,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING) AS mh
+    FROM hashes
+),
+picked AS (
+    SELECT DISTINCT doc_id, mh FROM mins WHERE m > {W} AND i <= m - {W - 1}
+    UNION
+    SELECT doc_id, min(mh) AS mh FROM mins WHERE m <= {W} GROUP BY doc_id
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_fingerprints,
+           min(mh) AS fp_min, max(mh) AS fp_max
+    FROM picked GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+       a.fp_min AS fp_min, a.fp_max AS fp_max
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+_ORACLE["winnow_fingerprint"] = _winnow_sql()
+
+# --- simhash_pairs: md5 simhash + brute-force hamming in SQL -----------------
+
+def _simhash_sql() -> str:
+    hi_pows = "[" + ",".join(
+        str(1 << (63 - i)) for i in range(64)) + "]::HUGEINT[]"
+    return f"""
+WITH tf AS (
+    SELECT doc_id, t.term AS term, count(*) AS tf
+    FROM documents,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS t(term)
+    GROUP BY doc_id, t.term
+),
+bits AS (
+    SELECT doc_id, tf, md5(term) AS h,
+           unnest(generate_series(0, 127)) AS c
+    FROM tf
+),
+v AS (
+    SELECT doc_id, c,
+           sum(((((strpos('0123456789abcdef',
+                          substring(h, c // 4 + 1, 1)) - 1)
+                  >> (3 - c % 4)) & 1) * 2 - 1) * tf * tf) AS v
+    FROM bits GROUP BY doc_id, c
+),
+packed AS (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 AND c < 64
+                    THEN ({hi_pows})[c + 1] ELSE 0 END) AS hi_u,
+           sum(CASE WHEN v > 0 AND c >= 64
+                    THEN ({hi_pows})[c - 64 + 1] ELSE 0 END) AS lo_u
+    FROM v GROUP BY doc_id
+),
+sh AS (
+    SELECT d.doc_id::VARCHAR AS doc_id,
+           (CASE WHEN coalesce(p.hi_u, 0) >= 9223372036854775808::HUGEINT
+                 THEN coalesce(p.hi_u, 0) - 18446744073709551616::HUGEINT
+                 ELSE coalesce(p.hi_u, 0) END)::BIGINT AS hi,
+           (CASE WHEN coalesce(p.lo_u, 0) >= 9223372036854775808::HUGEINT
+                 THEN coalesce(p.lo_u, 0) - 18446744073709551616::HUGEINT
+                 ELSE coalesce(p.lo_u, 0) END)::BIGINT AS lo
+    FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS distance
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) < 8
+"""
+
+
+_ORACLE["simhash_pairs"] = _simhash_sql()
+
 _ORACLE["union_dedup_rank"] = f"""
 WITH {_TOK_SQL},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -806,7 +1018,7 @@ WITH total AS (SELECT count(*) AS t FROM documents),
 per AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
 SELECT CASE WHEN n < 0.05 * total.t THEN 'other' ELSE source END
            AS source_group,
-       sum(n) AS n_docs
+       sum(n)::BIGINT AS n_docs
 FROM per, total GROUP BY 1
 """
 
@@ -870,16 +1082,17 @@ WITH g AS (
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """
 
 _ORACLE["tpch_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::DECIMAL(18,4)) AS sum_qty,
-       sum(l_extendedprice::DECIMAL(18,4)) AS sum_base_price,
-       sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))
-           AS sum_disc_price,
+       round(sum(l_quantity::DECIMAL(18,4))::DOUBLE, 6) AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,4))::DOUBLE, 6)
+           AS sum_base_price,
+       round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))
+             ::DOUBLE, 6) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= '1998-09-02'
@@ -888,7 +1101,8 @@ GROUP BY l_returnflag, l_linestatus
 
 _ORACLE["orders_by_segment"] = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(o_totalprice::DECIMAL(18,4)) AS sum_totalprice
+       round(sum(o_totalprice::DECIMAL(18,4))::DOUBLE, 6)
+           AS sum_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -912,12 +1126,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,       # rows-only (k-means)
-    "winnow_fingerprint": q_winnow_fingerprint,  # rows-only (numpy)
+    "ann_ivf_topk": q_ann_ivf_topk,  # rows-only: k-means is not ANSI SQL;
+    # recall vs brute force is asserted in tests/test_similarity_ivf.py
+    "winnow_fingerprint": q_winnow_fingerprint,
     "multimodal_features": q_multimodal_features,
-    "simhash_pairs": q_simhash_pairs,       # rows-only (no SQL twin)
-    "summarize_lead": q_summarize_lead,     # rows-only (model hook)
-    "doc2query_expand": q_doc2query_expand,  # rows-only (model hook)
+    "simhash_pairs": q_simhash_pairs,
+    "summarize_lead": q_summarize_lead,
+    "doc2query_expand": q_doc2query_expand,
     "union_dedup_rank": q_union_dedup_rank,
     "text_quality": q_text_quality,
     "lang_id_heuristic": q_lang_id_heuristic,

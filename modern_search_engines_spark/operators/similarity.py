@@ -11,7 +11,12 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+from .topk import ranked_topk
+
+def _order():
+    return [F.desc("cos"), F.asc("vec_id")]
 
 
 def _cos_expr(qvec: list[float]):
@@ -29,9 +34,7 @@ def brute_force_topk(emb: DataFrame, qvec: list[float],
                      k: int = 10) -> DataFrame:
     """(vec_id, cos, rank) — exact cosine top-k vs one query vector."""
     scored = emb.select("vec_id", _cos_expr(qvec).alias("cos"))
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return ranked_topk(scored, _order(), k, key_col="vec_id")
 
 
 def sign_bucket(col: str = "embedding", n_bits: int = 12):
@@ -61,9 +64,7 @@ def lsh_topk(emb: DataFrame, qvec: list[float], k: int = 10,
     scored = (emb.withColumn("bucket", sign_bucket(n_bits=n_bits))
               .where(F.col("bucket").isin(buckets))
               .select("vec_id", _cos_expr(qvec).alias("cos")))
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return ranked_topk(scored, _order(), k, key_col="vec_id")
 
 
 def train_ivf(emb: DataFrame, n_lists: int = 16, seed: int = 7):
@@ -110,6 +111,4 @@ def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
     lists = _nearest_lists(qvec, centroids, n_probe)
     scored = (assigned.where(F.col("list_id").isin(lists))
               .select("vec_id", _cos_expr(qvec).alias("cos")))
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return ranked_topk(scored, _order(), k, key_col="vec_id")

@@ -24,18 +24,24 @@ def con():
 
 
 def _norm(v):
+    """STRICT normalization mirroring the driver's value-hash compare:
+    no decimal→float or int→float coercion — a Spark Decimal vs DuckDB
+    float64 (or bigint vs HUGEINT) must FAIL here like it fails there.
+    Queries are responsible for emitting identical types in both engines
+    (cast integer sums to BIGINT, money sums to DOUBLE in the SQL twin)."""
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return ("f", round(v, 6))
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
-    # decimals → float for cross-engine compare
+        return ("i", v)
     import decimal
     if isinstance(v, decimal.Decimal):
-        return round(float(v), 6)
+        return ("dec", v)  # Decimal == float numerically; tag to distinguish
     return v
 
 
