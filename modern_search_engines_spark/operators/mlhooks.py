@@ -78,11 +78,14 @@ def real_query_generator(text: str) -> list[str]:
 def doc2query_expand(extracted: DataFrame,
                      text_col: str = "text",
                      tokens_col: str = "single_tokens") -> DataFrame:
-    """Append tokenized generated-query terms to ``tokens_col``.
+    """Append tokenized generated-query terms to ``tokens_col`` — the
+    STANDALONE variant (contract/demo over a bare tokens column).
 
-    Mirrors ``DocumentIndex.py:60-66``: expansions are tokenized with the
-    document tokenizer (unigrams) and concatenated onto the existing
-    token array, so tf/df/postings downstream see them as ordinary terms.
+    For the index build use :func:`expand_for_index`, which also extends
+    ``doc_unigrams`` — the column ``build_tf`` actually consumes — so
+    expansions reach tf/df/postings. This function alone, run between
+    extraction and build_tf, would leave the index unchanged (the fused
+    extraction UDF derives doc_unigrams before the hook runs).
     Arrow-batched pandas UDF; map-only, no shuffle.
     """
     gen = _query_generator
@@ -99,6 +102,56 @@ def doc2query_expand(extracted: DataFrame,
 
     return extracted.withColumn(
         tokens_col, F.concat(F.col(tokens_col), expansion(F.col(text_col))))
+
+
+_EXPANSION_STRUCT = T.StructType([
+    T.StructField("exp_single", T.ArrayType(T.StringType())),
+    T.StructField("exp_unigrams", T.ArrayType(T.StringType())),
+])
+
+
+def expand_for_index(extracted: DataFrame, ngram_max: int = 3) -> DataFrame:
+    """Build-integrated doc2query (``DocumentIndex.py:47-66`` +
+    ``Doc2Query.py:11-21``), for extracted rows carrying
+    (text, single_tokens, doc_unigrams):
+
+    * generated queries are tokenized with the FULL document tokenizer
+      (1..ngram_max grams, exactly ``tokenize(row['querygen'], ngrams)``,
+      Doc2Query.py:21) and appended to ``single_tokens``;
+    * ``doc_unigrams`` is extended with the cleaned re-tokenization of
+      the joined expansion tokens, so the downstream n-gram expansion
+      over doc_unigrams (build_tf/index_terms_col) is byte-identical to
+      the reference's re-tokenize of ``' '.join(single_tokens)``
+      (DocumentIndex.py:121) — including its quirks: n-gram expansion
+      tokens re-split into duplicate unigrams, and cross-boundary
+      n-grams between document text, query expansions, and adjacent
+      generated queries.
+
+    Must run AFTER corpus_stats (the reference computes avgdl before
+    doc2query, DocumentIndex.py:50-62 — expansions never affect avgdl)
+    and BEFORE build_tf. Map-only Arrow stage, no shuffle — the natural
+    GPU micro-batch shape for a real T5 generator.
+    """
+    gen = _query_generator
+
+    @F.pandas_udf(_EXPANSION_STRUCT)
+    def expansion(texts: pd.Series) -> pd.DataFrame:
+        singles, unigrams = [], []
+        for text in texts:
+            querygen = "\n".join(gen(text or ""))
+            exp_single = textlib.tokenize(querygen, ngram_max)
+            singles.append(exp_single)
+            unigrams.append(textlib.tokenize(" ".join(exp_single), 1))
+        return pd.DataFrame(
+            {"exp_single": singles, "exp_unigrams": unigrams})
+
+    return (extracted
+            .withColumn("_exp", expansion(F.col("text")))
+            .withColumn("single_tokens",
+                        F.concat("single_tokens", "_exp.exp_single"))
+            .withColumn("doc_unigrams",
+                        F.concat("doc_unigrams", "_exp.exp_unigrams"))
+            .drop("_exp"))
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,17 @@ BM25Ranker.py:49-61) with two pruning levels:
      (codec ``block_max``) give a tighter bound; if even that cannot beat
      the threshold the pivot document is skipped WITHOUT scoring.
 
+Posting lists are navigated through lazy block cursors: only the block
+under the cursor is ever varint-decoded (``codec.decompress_block`` via
+``block_off`` random access), seeks jump over blocks using the
+``block_first`` skip table without touching their bytes, and a cursor
+parked exactly on a block boundary reads its doc id from ``block_first``
+without decoding at all. Pruning therefore saves real decompression
+work, not just scoring — at corpus scale decode time dominates, so
+block-max pruning without lazy decode would be cosmetic. Each cursor
+counts its decoded blocks (``decoded_blocks`` / ``total_blocks``) and
+tests assert pruning-heavy queries decode strictly fewer than all.
+
 Rank-identity guarantee: pruning only ever skips a document when its
 score upper bound is *strictly below* the current k-th best score, so a
 document that could enter the top-k under the deterministic tie-break
@@ -31,19 +42,142 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions import codec
 
 
-def wand_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
+class PostingCursor:
+    """Lazy block-at-a-time cursor over one compressed posting list.
+
+    Invariants: ``pos`` is the global index of the current posting
+    (ascending doc ids); at most ONE block is materialized at a time;
+    a cursor sitting exactly on a block start answers ``cur_id()`` from
+    the ``block_first`` skip table without decoding.
+    """
+
+    __slots__ = ("n", "mult", "block_first", "block_max", "pos",
+                 "_load", "_bi", "_ids", "_scores", "decoded_blocks")
+
+    def __init__(self, n: int, mult: float, block_first: np.ndarray,
+                 block_max: np.ndarray, load_block):
+        self.n = int(n)
+        self.mult = float(mult)
+        self.block_first = block_first
+        self.block_max = block_max
+        self._load = load_block
+        self.pos = 0
+        self._bi = -1          # index of the materialized block (-1: none)
+        self._ids = None
+        self._scores = None
+        self.decoded_blocks = 0
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_blobs(cls, blobs: dict, mult: float) -> "PostingCursor":
+        bf = np.frombuffer(blobs["block_first"], dtype=np.int64)
+        bm = np.frombuffer(blobs["block_max"], dtype=np.float64)
+
+        def load(bi: int):
+            return codec.decompress_block(blobs, bi)
+
+        return cls(blobs["n"], mult, bf, bm, load)
+
+    @classmethod
+    def from_arrays(cls, ids: np.ndarray, scores: np.ndarray, mult: float,
+                    block_max: np.ndarray | None = None) -> "PostingCursor":
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
+        scores = np.ascontiguousarray(scores, dtype=np.float64)
+        starts = np.arange(0, ids.size, codec.BLOCK)
+        if block_max is None:
+            block_max = (np.maximum.reduceat(scores, starts)
+                         if ids.size else np.zeros(0))
+
+        def load(bi: int):
+            s = bi * codec.BLOCK
+            e = min(s + codec.BLOCK, ids.size)
+            return ids[s:e], scores[s:e]
+
+        return cls(ids.size, mult, ids[starts],
+                   np.asarray(block_max, dtype=np.float64), load)
+
+    # -- navigation ---------------------------------------------------------
+
+    @property
+    def total_blocks(self) -> int:
+        return self.block_first.size
+
+    def exhausted(self) -> bool:
+        return self.pos >= self.n
+
+    def _ensure(self) -> None:
+        bi = self.pos // codec.BLOCK
+        if bi != self._bi:
+            self._ids, self._scores = self._load(bi)
+            self._bi = bi
+            self.decoded_blocks += 1
+
+    def cur_id(self) -> int:
+        off = self.pos % codec.BLOCK
+        if off == 0:  # block boundary: answer from the skip table
+            return int(self.block_first[self.pos // codec.BLOCK])
+        self._ensure()
+        return int(self._ids[off])
+
+    def cur_score(self) -> float:
+        self._ensure()
+        return float(self._scores[self.pos % codec.BLOCK])
+
+    def cur_block_max(self) -> float:
+        return float(self.block_max[self.pos // codec.BLOCK])
+
+    def advance(self) -> None:
+        self.pos += 1
+
+    def seek(self, doc: int) -> None:
+        """Move to the first posting with id ≥ ``doc`` (never backwards).
+
+        Whole blocks whose range cannot contain ``doc`` are skipped via
+        ``block_first`` without decoding their bytes.
+        """
+        if self.exhausted() or self.cur_id() >= doc:
+            return
+        # last block whose first id ≤ doc (it is ≥ the current block
+        # because cur_id() < doc ⇒ block_first[cur block] < doc)
+        tb = int(np.searchsorted(self.block_first, doc,
+                                 side="right")) - 1
+        if tb > self.pos // codec.BLOCK:
+            self.pos = tb * codec.BLOCK
+            if self.cur_id() >= doc:
+                return
+        # binary search inside the one target block
+        self._ensure()
+        off = self.pos % codec.BLOCK
+        within = int(np.searchsorted(self._ids[off:], doc, side="left"))
+        self.pos += within
+        # if doc exceeds this block's last id, pos now sits on the next
+        # block's start (or past the end) — cur_id comes from block_first
+
+
+def _as_cursors(lists) -> list[PostingCursor]:
+    out = []
+    for l in lists:
+        if isinstance(l, PostingCursor):
+            out.append(l)
+        elif "ids" in l:
+            out.append(PostingCursor.from_arrays(
+                l["ids"], l["scores"], l["mult"], l.get("block_max")))
+        else:
+            out.append(PostingCursor.from_blobs(l, l["mult"]))
+    return [c for c in out if c.n > 0]
+
+
+def wand_topk(lists, k: int) -> list[tuple[int, float]]:
     """Exact top-k by (score desc, doc_idx asc) over posting lists.
 
-    Each list dict: ids (int64 asc), scores (f64), mult (query-side
-    multiplier qtf·w — constant per term, F9), block_max (f64 per block).
+    ``lists``: PostingCursor objects, raw-array dicts (ids int64 asc,
+    scores f64, mult, optional block_max) or compressed blob dicts.
     """
-    lists = [l for l in lists if l["ids"].size > 0]
-    if not lists:
+    cursors = _as_cursors(lists)
+    if not cursors:
         return []
-    n_lists = len(lists)
-    cursors = [0] * n_lists
-    sizes = [l["ids"].size for l in lists]
-    ubs = [float(l["mult"]) * float(l["block_max"].max()) for l in lists]
+    ubs = [c.mult * float(c.block_max.max()) for c in cursors]
 
     # min-heap of (score, -doc_idx): root is the weakest top-k member —
     # lowest score, and among equal scores the LARGEST doc_idx (which the
@@ -61,9 +195,8 @@ def wand_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
             heapq.heapreplace(heap, item)
 
     while True:
-        order = sorted(
-            (i for i in range(n_lists) if cursors[i] < sizes[i]),
-            key=lambda i: lists[i]["ids"][cursors[i]])
+        live = [i for i, c in enumerate(cursors) if not c.exhausted()]
+        order = sorted(live, key=lambda i: cursors[i].cur_id())
         if not order:
             break
         theta = threshold()
@@ -76,10 +209,9 @@ def wand_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
                 break
         if pivot_pos is None:
             break  # no remaining doc can enter the top-k
-        pivot_list = order[pivot_pos]
-        pivot_doc = int(lists[pivot_list]["ids"][cursors[pivot_list]])
+        pivot_doc = cursors[order[pivot_pos]].cur_id()
 
-        first_doc = int(lists[order[0]]["ids"][cursors[order[0]]])
+        first_doc = cursors[order[0]].cur_id()
         if first_doc == pivot_doc:
             # aligned: every list whose current doc equals the pivot doc
             # (this can extend PAST the pivot position — lists after the
@@ -87,54 +219,48 @@ def wand_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
             # bound, else a true top-k doc gets skipped)
             aligned = []
             for i in order:
-                if int(lists[i]["ids"][cursors[i]]) == pivot_doc:
+                if cursors[i].cur_id() == pivot_doc:
                     aligned.append(i)
                 else:
                     break
-            bm_acc = 0.0
-            for i in aligned:
-                bi = cursors[i] // codec.BLOCK
-                bm_acc += float(lists[i]["mult"]) * float(
-                    lists[i]["block_max"][bi])
+            # block-max bound needs no decode: block_max is stored
+            bm_acc = sum(cursors[i].mult * cursors[i].cur_block_max()
+                         for i in aligned)
             if len(heap) >= k and bm_acc < theta:
                 # block bound rules the pivot out — skip without scoring
+                # (and without decoding blocks we only entered via the
+                # skip table)
                 for i in aligned:
-                    cursors[i] += 1
+                    cursors[i].advance()
                 continue
             score = 0.0
             for i in order:
                 c = cursors[i]
-                if int(lists[i]["ids"][c]) == pivot_doc:
-                    score += float(lists[i]["mult"]) * float(
-                        lists[i]["scores"][c])
-                    cursors[i] += 1
-                elif int(lists[i]["ids"][c]) > pivot_doc:
+                cid = c.cur_id()
+                if cid == pivot_doc:
+                    score += c.mult * c.cur_score()
+                    c.advance()
+                elif cid > pivot_doc:
                     break
             offer(pivot_doc, score)
         else:
-            # advance lists before the pivot up to the pivot doc
+            # advance lists before the pivot up to the pivot doc —
+            # block-skipping seeks, no decode of skipped blocks
             for i in order[:pivot_pos]:
-                c = cursors[i]
-                cursors[i] = c + int(np.searchsorted(
-                    lists[i]["ids"][c:], pivot_doc, side="left"))
+                cursors[i].seek(pivot_doc)
 
     out = sorted(heap, key=lambda it: (-it[0], -it[1]))
     return [(-nd, s) for s, nd in out]
 
 
-def _rows_to_lists(pdf: pd.DataFrame) -> list[dict]:
+def _rows_to_cursors(pdf: pd.DataFrame) -> list[PostingCursor]:
     out = []
     for r in pdf.itertuples():
-        ids, scores = codec.decompress({
+        out.append(PostingCursor.from_blobs({
             "n": r.n, "ids_blob": r.ids_blob, "scores_blob": r.scores_blob,
             "block_first": r.block_first, "block_max": r.block_max,
             "block_off": r.block_off,
-        })
-        out.append({
-            "ids": ids, "scores": scores,
-            "mult": float(r.mult),
-            "block_max": np.frombuffer(r.block_max, dtype=np.float64),
-        })
+        }, mult=float(r.mult)))
     return out
 
 
@@ -164,7 +290,7 @@ def run_wand(spark: SparkSession, queries: list[tuple[str, str]],
 
     def _wand_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]
-        top = wand_topk(_rows_to_lists(pdf), k)
+        top = wand_topk(_rows_to_cursors(pdf), k)
         return pd.DataFrame(
             {"qid": [qid] * len(top),
              "doc_idx": [d for d, _ in top],

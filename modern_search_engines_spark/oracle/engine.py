@@ -103,7 +103,8 @@ class OracleEngine:
 
     # -- build (DocumentIndex.create_index_for_documents, :47-73) ----------
 
-    def build(self, docs: list[OracleDoc]) -> None:
+    def build(self, docs: list[OracleDoc],
+              use_doc2query: bool = False) -> None:
         docs = [
             d for d in docs
             if textlib.index_filter(
@@ -112,12 +113,27 @@ class OracleEngine:
                 d.single_tokens,
             )
         ]
+        # averages BEFORE doc2query (DocumentIndex.py:50-62): avgdl never
+        # includes expansion tokens
         self._averages(docs)
         self.total_documents = len(docs)
+        if use_doc2query:
+            self._doc2query(docs)
         for d in docs:
             self._add(d)
         self._idf_tfidf()
         self._bm25()
+
+    def _doc2query(self, docs: list[OracleDoc]) -> None:
+        """doc_2_query_minus (Doc2Query.py:11-21): generated queries are
+        tokenized with the build's n-gram setting and appended to
+        ``single_tokens`` in place (mutating, like the reference);
+        ``_add``'s re-tokenization then folds them into tf/df."""
+        from ..operators import mlhooks
+        for d in docs:
+            querygen = "\n".join(mlhooks._query_generator(d.text or ""))
+            d.single_tokens.extend(
+                textlib.tokenize(querygen, self.ngram_max))
 
     def _averages(self, docs: list[OracleDoc]) -> None:
         # unigram avgdl + mean date over dated docs (DocumentIndex.py:95-110)

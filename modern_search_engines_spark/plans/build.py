@@ -31,6 +31,7 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
                            out_dir: str, ngram_max: int = 3,
                            n_buckets: int = 64, n_salts: int = 8,
                            n_shards: int = 1, n_extract_chunks: int = 1,
+                           use_doc2query: bool = False,
                            verbose: bool = True) -> dict:
     """Run (or resume) the full staged build; returns handles + stats.
 
@@ -38,18 +39,32 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
     url-hash-range chunk (per-partition checkpointing): a kill mid-
     extraction resumes from the last complete chunk instead of
     restarting the stage (sources/tables.py write_stage_chunked).
+
+    ``use_doc2query`` mirrors ``DocumentIndex.py:47-66`` (where it
+    defaults ON): after corpus averages, every indexed doc's token
+    arrays are extended with tokenized generated queries
+    (operators/mlhooks.expand_for_index) so expansions flow into
+    tf/df/postings. Defaults OFF here because the reference's T5
+    generator isn't available in this environment — with only the
+    deterministic fake, an expanded index cannot match a reference
+    index anyway; flip it on when a real generator is plugged in via
+    ``mlhooks.set_query_generator``. The flag is recorded in the tf
+    stage's manifest params, so toggling it forces a tf rebuild on
+    resume.
     """
     sw = StageWriter(spark, out_dir, verbose=verbose)
 
     if n_extract_chunks > 1:
         extracted = sw.write_stage_chunked(
-            indexing.extract_pages(pages, ngram_max), "extracted",
-            n_chunks=n_extract_chunks, key_col="url")
+            pages, lambda d: indexing.extract_pages(d, ngram_max),
+            "extracted", n_chunks=n_extract_chunks, key_col="url")
     else:
         extracted = sw.write_stage(
             indexing.extract_pages(pages, ngram_max), "extracted")
     indexed = indexing.filter_index_docs(extracted)
 
+    # corpus averages come BEFORE doc2query (DocumentIndex.py:50-62) —
+    # avgdl never includes expansion tokens
     stats_path = os.path.join(out_dir, STATS_FILE)
     if os.path.exists(stats_path):
         with open(stats_path) as f:
@@ -59,13 +74,21 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         with open(stats_path, "w") as f:
             json.dump(stats, f)
 
+    indexed_raw = indexed  # pre-expansion: metadata-only stages read this
+    if use_doc2query:
+        from ..operators import mlhooks
+        indexed = mlhooks.expand_for_index(indexed, ngram_max)
+
     tf = sw.write_stage(indexing.build_tf(indexed, ngram_max), "tf",
-                        inputs=("extracted",))
+                        inputs=("extracted",),
+                        params={"use_doc2query": use_doc2query,
+                                "ngram_max": ngram_max})
     term_stats = sw.write_stage(
         indexing.build_term_stats(tf, stats["N"]), "term_stats",
         inputs=("tf",))
     doc_len = indexing.build_doc_len(tf)  # cheap, derived on the fly
-    doc_fields = indexing.build_doc_fields(indexed, stats["avg_date_ts"])
+    doc_fields = indexing.build_doc_fields(indexed_raw,
+                                           stats["avg_date_ts"])
 
     bm25 = sw.write_stage(
         indexing.build_bm25_postings(tf, term_stats, doc_len, doc_fields,
@@ -80,7 +103,7 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         "postings_compressed", inputs=("bm25_postings",),
         partition_by=["bucket"], sort_within=["term", "shard"])
 
-    docs = sw.write_stage(indexed.select(*DOCS_DISPLAY_COLS), "docs",
+    docs = sw.write_stage(indexed_raw.select(*DOCS_DISPLAY_COLS), "docs",
                           inputs=("extracted",))
     # doc_idx is a pure expression of doc_id — derive the mapping from
     # the docs table instead of building/storing a doc_dim stage

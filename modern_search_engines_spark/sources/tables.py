@@ -57,32 +57,65 @@ class StageWriter:
                 return json.load(f)
         return None
 
-    def is_complete(self, name: str, lineage: dict | None = None) -> bool:
+    def is_complete(self, name: str, lineage: dict | None = None,
+                    expected_schema: str | None = None,
+                    params: dict | None = None,
+                    layout: str = "flat") -> bool:
+        """A stage resumes only when manifest status, upstream lineage,
+        OUTPUT SCHEMA, build params, and directory layout all match what
+        the current code would produce. The schema check turns "resume a
+        pre-upgrade stage, then AnalysisException three stages later"
+        into an immediate rebuild of the stale stage; the layout check
+        refuses to mix chunked and flat part-files under one stage dir."""
         m = self.manifest(name)
         if m is None or m.get("status") != "complete":
             return False
         if lineage is not None and m.get("lineage") != lineage:
             return False
+        if expected_schema is not None and m.get("schema") != expected_schema:
+            if self.verbose:
+                print(f"[stage {name}] schema changed -> rebuild")
+            return False
+        if params is not None and m.get("params", {}) != params:
+            if self.verbose:
+                print(f"[stage {name}] params changed -> rebuild")
+            return False
+        if (m.get("layout", "chunked" if "chunks" in m else "flat")
+                != layout):
+            if self.verbose:
+                print(f"[stage {name}] layout changed -> rebuild")
+            return False
         return True
 
     def lineage_of(self, *names: str) -> dict:
-        """Fingerprint of upstream stages for lineage validation."""
+        """Fingerprint of upstream stages for lineage validation (rows +
+        commit id + schema, so an upstream schema change invalidates
+        downstream stages instead of failing their plans)."""
         out = {}
         for n in names:
             m = self.manifest(n) or {}
-            out[n] = {"rows": m.get("rows"), "commit_id": m.get("commit_id")}
+            out[n] = {"rows": m.get("rows"), "commit_id": m.get("commit_id"),
+                      "schema": m.get("schema")}
         return out
 
     def write_stage(self, df: DataFrame, name: str,
                     partition_by: list[str] | None = None,
                     sort_within: list[str] | None = None,
-                    inputs: tuple[str, ...] = ()) -> DataFrame:
+                    inputs: tuple[str, ...] = (),
+                    params: dict | None = None) -> DataFrame:
         """Write (or resume) one stage; returns the stage read back from
         disk so downstream plans scan the materialized table (a real
-        shuffle/lineage barrier, like the reference's per-stage pickles)."""
+        shuffle/lineage barrier, like the reference's per-stage pickles).
+
+        ``params`` records build knobs that change the stage's CONTENT
+        without changing its schema (e.g. use_doc2query) — a param
+        mismatch forces a rebuild on resume.
+        """
         final, tmp, mpath = self._paths(name)
         lineage = self.lineage_of(*inputs)
-        if self.is_complete(name, lineage if inputs else None):
+        if self.is_complete(name, lineage if inputs else None,
+                            expected_schema=df.schema.simpleString(),
+                            params=params or {}, layout="flat"):
             if self.verbose:
                 print(f"[stage {name}] resume: complete, skipping")
             return self.spark.read.parquet(final)
@@ -119,6 +152,8 @@ class StageWriter:
             "schema": df.schema.simpleString(),
             "partition_by": partition_by or [],
             "lineage": lineage,
+            "params": params or {},
+            "layout": "flat",
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         with open(mpath, "w") as f:
@@ -128,15 +163,24 @@ class StageWriter:
                   f"{elapsed:.1f}s")
         return self.spark.read.parquet(final)
 
-    def write_stage_chunked(self, df: DataFrame, name: str,
-                            n_chunks: int, key_col: str = "url",
-                            inputs: tuple[str, ...] = ()) -> DataFrame:
+    def write_stage_chunked(self, input_df: DataFrame, transform,
+                            name: str, n_chunks: int, key_col: str = "url",
+                            inputs: tuple[str, ...] = (),
+                            params: dict | None = None) -> DataFrame:
         """Per-partition checkpointing (north rule): the stage is split
         into ``n_chunks`` hash-ranges of ``key_col``, each committed
         independently (temp + atomic rename + its own manifest). A
         killed build resumes by skipping complete chunks — the
         anti-join-on-completed-partitions pattern, at chunk granularity
         instead of whole-stage.
+
+        The chunk predicate is applied to ``input_df`` BEFORE
+        ``transform`` runs (``key_col`` must pass through unchanged).
+        Filtering the transform's OUTPUT instead would be a scale bug:
+        Catalyst cannot push a filter through MapInPandas, so every
+        chunk job would re-run the full extraction UDF over ALL pages
+        and discard (n_chunks−1)/n_chunks of the work — a clean chunked
+        build would cost n_chunks× the extraction CPU.
 
         On a real cluster the chunks map to Iceberg manifest/partition
         ranges so each chunk scans only its input split; the local
@@ -145,16 +189,36 @@ class StageWriter:
         final, _, _ = self._paths(name)
         lineage = self.lineage_of(*inputs)
         pred = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))
+        subs = [transform(input_df.where(pred == c))
+                for c in range(n_chunks)]
+        out_schema = subs[0].schema.simpleString()
+
+        # layout guard: a flat (or differently-chunked) stage under this
+        # name would leave stale part-files next to the chunk dirs —
+        # clear the whole stage dir instead of mixing layouts
+        existing = self.manifest(name)
+        if existing is not None and not self.is_complete(
+                name, lineage if inputs else None,
+                expected_schema=out_schema, params=params or {},
+                layout="chunked"):
+            if existing.get("chunks") != n_chunks and self.verbose:
+                print(f"[stage {name}] layout/lineage mismatch -> clearing")
+            shutil.rmtree(final, ignore_errors=True)
+            existing = None
+
         for c in range(n_chunks):
             cname = f"{name}/chunk={c}"
             cfinal, ctmp, cmpath = self._paths(cname)
-            if self.is_complete(cname, lineage if inputs else None):
+            # schema checked per-chunk too: a crashed build resumed under
+            # upgraded code must not mix old- and new-schema chunks
+            if self.is_complete(cname, lineage if inputs else None,
+                                expected_schema=out_schema):
                 if self.verbose:
                     print(f"[stage {cname}] resume: complete, skipping")
                 continue
             shutil.rmtree(ctmp, ignore_errors=True)
             shutil.rmtree(cfinal, ignore_errors=True)
-            sub = df.where(pred == c)
+            sub = subs[c]
             obs = Observation(f"{name}-c{c}-{uuid.uuid4().hex[:8]}")
             sub = sub.observe(obs, F.count(F.lit(1)).alias("rows"))
             t0 = time.time()
@@ -169,13 +233,13 @@ class StageWriter:
                     "commit_id": uuid.uuid4().hex, "chunk": c,
                     "rows": rows, "bytes": _dir_bytes(cfinal),
                     "seconds": round(elapsed, 3),
+                    "schema": out_schema,
                     "lineage": lineage,
                 }, f, indent=1)
             if self.verbose:
                 print(f"[stage {cname}] {rows} rows, {elapsed:.1f}s")
         # stage-level manifest summarizing the chunks; keep the existing
         # one on a no-op resume so downstream lineage stays valid
-        existing = self.manifest(name)
         if (existing and existing.get("status") == "complete"
                 and existing.get("chunks") == n_chunks
                 and existing.get("lineage") == lineage):
@@ -189,9 +253,11 @@ class StageWriter:
                 "rows": sum(m["rows"] for m in chunk_manifests),
                 "bytes": _dir_bytes(final),
                 "seconds": sum(m["seconds"] for m in chunk_manifests),
-                "schema": df.schema.simpleString(),
+                "schema": out_schema,
                 "partition_by": [f"chunk({key_col}, {n_chunks})"],
                 "lineage": lineage,
+                "params": params or {},
+                "layout": "chunked",
                 "chunks": n_chunks,
                 "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                             time.gmtime()),
