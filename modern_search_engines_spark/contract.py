@@ -188,32 +188,25 @@ def q_doc_fingerprint(spark, sf):
         "doc_id", F.md5(key.cast("binary")).alias("fp"))
 
 
+MAX_SHINGLE_DF = 100  # hot-shingle guard; non-binding at sf0.01 (max df 7)
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     """n-gram Jaccard near-dup pairs (J3 analog): candidate pairs via
     shared shingle (inverted-index prefilter — never O(N²)), jaccard
-    = |∩|/|∪| ≥ 0.2."""
-    sh = _shingles(spark, sf)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n", "nb"), "doc_b")
-        .select("doc_a", "doc_b",
-                F.round(F.col("inter").cast("double")
-                        / (F.col("na") + F.col("nb") - F.col("inter")), 6)
-                .alias("jaccard"))
-        .where(F.col("jaccard") >= 0.2)
-    )
+    = |∩|/|∪| ≥ 0.2 over shingles with df ≤ MAX_SHINGLE_DF.
+
+    The df cap defuses the quadratic blow-up of a ubiquitous shingle's
+    equi-join group at scale (operators/dedup.jaccard_near_dups); the
+    SQL twin applies the identical cap so both engines compute the same
+    well-defined similarity at any scale factor.
+    """
+    from .operators import dedup
+    pairs = dedup.jaccard_near_dups(_shingles(spark, sf), threshold=None,
+                                    max_shingle_df=MAX_SHINGLE_DF)
+    return (pairs.select("doc_a", "doc_b",
+                         F.round("jaccard", 6).alias("jaccard"))
+            .where(F.col("jaccard") >= 0.2))
 
 
 N_MINHASH = 8
@@ -663,10 +656,15 @@ FROM documents
 
 _ORACLE["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLE_SQL},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cold AS (
+    SELECT doc_id, sh FROM sh
+    WHERE sh IN (SELECT sh FROM sh GROUP BY sh
+                 HAVING count(*) <= {MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,

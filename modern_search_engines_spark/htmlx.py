@@ -56,11 +56,18 @@ class Node:
     # -- bs4-equivalent accessors ------------------------------------------
 
     def iter_nodes(self):
-        """Pre-order traversal of element nodes (document order)."""
-        for c in self.children:
-            if isinstance(c, Node):
-                yield c
-                yield from c.iter_nodes()
+        """Pre-order traversal of element nodes (document order).
+
+        Iterative (explicit stack): recursive generators pay a
+        yield-through per ancestor level per node — on the extraction
+        hot path that was ~18% of per-page CPU (profiled).
+        """
+        stack = [c for c in reversed(self.children) if isinstance(c, Node)]
+        while stack:
+            n = stack.pop()
+            yield n
+            stack.extend(c for c in reversed(n.children)
+                         if isinstance(c, Node))
 
     def find_all(self, tags) -> list["Node"]:
         if isinstance(tags, str):
@@ -78,10 +85,13 @@ class Node:
         return None
 
     def strings(self):
-        """All descendant text nodes in document order (bs4 .strings)."""
-        for c in self.children:
+        """All descendant text nodes in document order (bs4 .strings).
+        Iterative for the same hot-path reason as ``iter_nodes``."""
+        stack = list(reversed(self.children))
+        while stack:
+            c = stack.pop()
             if isinstance(c, Node):
-                yield from c.strings()
+                stack.extend(reversed(c.children))
             else:
                 yield c
 
@@ -184,25 +194,47 @@ def extract_page(url: str, html: str) -> dict:
     """
     root = parse_html(html)
 
-    html_tag = root.find("html")
+    # ONE pre-order walk buckets every element by tag; the dozen
+    # find/find_all lookups below read the buckets. (Each find_all was a
+    # full tree traversal — 12+ walks per page, measured ~15% of
+    # extraction CPU.) Document order inside each bucket is preserved,
+    # so "first match" semantics are identical to find().
+    by_tag: dict[str, list[Node]] = {}
+    doc_order: dict[int, int] = {}  # id(node) -> pre-order sequence no.
+    for i, n in enumerate(root.iter_nodes()):
+        doc_order[id(n)] = i
+        bucket = by_tag.get(n.tag)
+        if bucket is None:
+            by_tag[n.tag] = [n]
+        else:
+            bucket.append(n)
+
+    def _first(tag: str, attrs: dict | None = None):
+        for n in by_tag.get(tag, ()):
+            if attrs is None or all(n.attrs.get(k) == v
+                                    for k, v in attrs.items()):
+                return n
+        return None
+
+    html_tag = _first("html")
     html_lang = html_tag.attrs.get("lang") if html_tag is not None else None
 
-    title_node = root.find("title")
+    title_node = _first("title")
     title = title_node.get_text() if title_node is not None else ""
 
     # description (Document.py:143-153)
     description = ""
-    d = root.find("meta", {"name": "description"})
+    d = _first("meta", {"name": "description"})
     if d is not None and "content" in d.attrs:
         description = d.attrs["content"] or ""
     else:
-        og = root.find("meta", {"property": "og:description"})
+        og = _first("meta", {"property": "og:description"})
         if og is not None and "content" in og.attrs:
             description = og.attrs["content"] or ""
 
     # keywords (Document.py:283-289)
     keywords: list[str] = []
-    for meta in root.find_all("meta"):
+    for meta in by_tag.get("meta", ()):
         if meta.attrs.get("name") == "keywords":
             content = meta.attrs.get("content") or ""
             keywords.extend(k.strip().lower() for k in content.split(","))
@@ -210,7 +242,7 @@ def extract_page(url: str, html: str) -> dict:
     # modified date (Document.py:221-241, meta-tag sources only)
     last_modified = None
     for prop in ("article:modified_time", "article:published_time"):
-        tag = root.find("meta", {"property": prop})
+        tag = _first("meta", {"property": prop})
         if tag is not None and "content" in tag.attrs:
             try:
                 last_modified = dateutil.parser.parse(tag.attrs["content"])
@@ -221,7 +253,7 @@ def extract_page(url: str, html: str) -> dict:
     # icon (Document.py:243-255)
     icon_url = None
     for rel in ("shortcut icon", "icon", "apple-touch-icon"):
-        link = root.find("link", {"rel": rel})
+        link = _first("link", {"rel": rel})
         if link is None or "href" not in link.attrs:
             continue
         href = link.attrs["href"] or ""
@@ -230,19 +262,28 @@ def extract_page(url: str, html: str) -> dict:
 
     # headings (Document.py:269-275)
     headings = {
-        f"h{level}": [h.get_text(strip=True) for h in root.find_all(f"h{level}")]
+        f"h{level}": [h.get_text(strip=True)
+                      for h in by_tag.get(f"h{level}", ())]
         for level in range(1, 7)
     }
 
-    # emphasis (Document.py:277-281) — .text.strip() per element
+    # emphasis (Document.py:277-281) — .text.strip() per element; the
+    # multi-tag groups merge buckets back into document order
+    def _in_doc_order(tags: tuple[str, ...]) -> list[Node]:
+        if len(tags) == 1:
+            return list(by_tag.get(tags[0], ()))
+        merged = [n for t in tags for n in by_tag.get(t, ())]
+        merged.sort(key=lambda n: doc_order[id(n)])
+        return merged
+
     text_emphasis = {
-        group: [n.get_text().strip() for n in root.find_all(tags)]
+        group: [n.get_text().strip() for n in _in_doc_order(tags)]
         for group, tags in _EMPHASIS_GROUPS.items()
     }
 
     # links (Document.py:207-219) — set semantics; sorted for determinism
     hrefs: set[str] = set()
-    for a in root.find_all("a"):
+    for a in by_tag.get("a", ()):
         href = a.attrs.get("href")
         if href is None:
             continue

@@ -17,34 +17,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# 128-bit simhash lives in two longs (sim_hi, sim_lo). Band it into 8
-# 16-bit chunks: equal-hamming-≤K pairs must share ≥1 band when K < 8
-# (pigeonhole), so the band join finds every pair with distance < 8.
-_N_BANDS_PER_LONG = 4
+# 128-bit simhash lives in two longs (sim_hi, sim_lo). Band each long
+# into ``64 // band_bits`` chunks: pairs at hamming distance < n_bands
+# must share ≥1 band (pigeonhole), so the band join finds every pair the
+# distance filter would keep.
+#
+# band_bits trades bucket count against recall guarantee:
+#   16 (default) → 8 bands, 2^16 buckets/band, guarantees distance < 8
+#   32           → 4 bands, 2^32 buckets/band, guarantees distance < 4
+# At 10^12 docs the 16-bit banding leaves ~10^7 docs per bucket and the
+# within-bucket pairing goes quadratic — use band_bits=32 (the reference
+# only needs hamming < 5 anyway, Crawler.py:209-213), which multiplies
+# the bucket space by 65536×.
 
 
-def _bands(col: str, prefix: str):
+def _bands(col: str, prefix: str, band_bits: int):
+    n = 64 // band_bits
+    mask = (1 << band_bits) - 1
     out = []
-    for i in range(_N_BANDS_PER_LONG):
+    for i in range(n):
         out.append(
             F.concat(F.lit(f"{prefix}{i}:"),
-                     (F.shiftright(F.col(col), i * 16)
-                      .bitwiseAND(F.lit(0xFFFF))).cast("string")))
+                     (F.shiftright(F.col(col), i * band_bits)
+                      .bitwiseAND(F.lit(mask))).cast("string")))
     return out
 
 
-def simhash_near_dups(docs: DataFrame, max_distance: int = 5) -> DataFrame:
+def simhash_near_dups(docs: DataFrame, max_distance: int = 5,
+                      band_bits: int = 16) -> DataFrame:
     """(doc_a, doc_b, distance) — hamming(simhash) < max_distance
     (Crawler.py:209-213 semantics, ``hamming < 5``).
 
-    Requires max_distance ≤ 8 for the 8-band pigeonhole guarantee.
+    Requires ``max_distance ≤ 128 // band_bits`` (pigeonhole: a pair at
+    distance ≤ n_bands − 1 has some band untouched by the differing
+    bits). ``band_bits`` must divide 64.
     """
-    assert max_distance <= 8
+    n_bands = 128 // band_bits
+    assert 64 % band_bits == 0, "band_bits must divide 64"
+    assert max_distance <= n_bands, (
+        f"max_distance {max_distance} needs ≥ {max_distance} bands; "
+        f"band_bits={band_bits} gives only {n_bands}")
     sh = docs.select("doc_id", "sim_hi", "sim_lo")
     banded = sh.select(
         "doc_id", "sim_hi", "sim_lo",
-        F.explode(F.array(*_bands("sim_hi", "h"),
-                          *_bands("sim_lo", "l"))).alias("band"))
+        F.explode(F.array(*_bands("sim_hi", "h", band_bits),
+                          *_bands("sim_lo", "l", band_bits))).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
     dist = (F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
             + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))))
@@ -57,6 +74,53 @@ def simhash_near_dups(docs: DataFrame, max_distance: int = 5) -> DataFrame:
         .where(F.col("distance") < max_distance)
         .distinct()
     )
+
+
+def jaccard_near_dups(shingles: DataFrame, threshold: float | None = 0.2,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — n-gram Jaccard near-dup pairs from a
+    (doc_id, sh) distinct-shingle table: candidate pairs via shared
+    shingle (inverted-index prefilter, never O(N²)), exact
+    |∩|/|∪| verify.
+
+    ``max_shingle_df`` drops shingles present in more than that many
+    docs BEFORE the self-join. Without it one ubiquitous shingle makes
+    the equi-join quadratic in its group — the canonical scale-killer
+    (df 10^6 ⇒ 10^12 candidate rows from a single shingle). Sizes and
+    intersections are both computed over the FILTERED shingle space, so
+    the jaccard stays a well-defined similarity (over informative
+    shingles — the same rationale as stopword removal); with the cap
+    above the corpus's max df it is exactly the unfiltered jaccard.
+    """
+    if max_shingle_df is not None:
+        hot = (shingles.groupBy("sh")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > max_shingle_df)
+               .select("sh"))
+        # broadcast anti-join: the hot-shingle list is tiny by definition
+        shingles = shingles.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .select("doc_a", "doc_b",
+                (F.col("inter").cast("double")
+                 / (F.col("na") + F.col("nb") - F.col("inter")))
+                .alias("jaccard"))
+    )
+    if threshold is not None:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
 
 
 def exact_dups(df: DataFrame, text_col: str = "text",

@@ -38,10 +38,13 @@ def filter_fetchable(pages: DataFrame) -> DataFrame:
     (Document.py:62-64, 98-113): PDF magic-byte sniff and oversize filter.
 
     Runs BEFORE extraction so the UDF never sees rejected rows; both
-    predicates are JVM expressions on the binary column.
+    predicates are JVM expressions on the binary column. The magic-byte
+    sniff substrings the BINARY first and casts only the 4 bytes —
+    casting the whole (≤5 MB) payload to string just to read 4 chars
+    would materialize it per row.
     """
     return pages.where(
-        (F.substring(F.col("html").cast("string"), 1, 4) != "%PDF")
+        (F.substring(F.col("html"), 1, 4).cast("string") != "%PDF")
         & (F.length(F.col("html")) <= MAX_HTML_CHARS)
     )
 

@@ -75,12 +75,14 @@ def extract_features(media: DataFrame, id_col: str = "id",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col]
+            # zip over columns, not iterrows: iterrows builds a Series
+            # per row (the slowest pandas iteration idiom)
+            for i, kind, payload in zip(pdf[id_col], pdf[kind_col],
+                                        pdf[payload_col]):
                 if isinstance(payload, bytearray):
                     payload = bytes(payload)
-                out = dec(payload, r[kind_col])
-                rows.append({"id": r[id_col], "kind": r[kind_col], **out})
+                out = dec(payload, kind)
+                rows.append({"id": i, "kind": kind, **out})
             yield pd.DataFrame(
                 rows, columns=["id", "kind", "n_bytes", "width",
                                "height", "feature"])

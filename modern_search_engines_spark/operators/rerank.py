@@ -39,12 +39,20 @@ def label_topic(top_words: list[str]) -> str | None:
 
 def train_lda_topics(docs: DataFrame, num_topics: int = 20,
                      vocab_size: int = 2000, max_iter: int = 20,
-                     seed: int = 123):
-    """doc_topics(doc_id → [(topic, share)...]) + topic labels via
-    pyspark.ml LDA over ``single_tokens`` (tübingen variants excluded,
-    LDAmodel.py:17-18)."""
+                     seed: int = 123) -> tuple[DataFrame, dict]:
+    """Distributed topic assignment + topic labels via pyspark.ml LDA
+    over ``single_tokens`` (tübingen variants excluded, LDAmodel.py:17-18).
+
+    Returns ``(doc_topics, topics)`` where ``doc_topics`` is a DATAFRAME
+    (doc_id, topic, share) — never collected to the driver: at corpus
+    scale the per-doc distribution table is as large as the corpus.
+    Only the ≤k docs of a ranking being diversified are ever collected
+    (``topics_for_docs``); ``topics`` (num_topics label entries) is the
+    only driver-side object.
+    """
     from pyspark.ml.clustering import LDA
     from pyspark.ml.feature import CountVectorizer
+    from pyspark.ml.functions import vector_to_array
 
     filtered = docs.select(
         "doc_id",
@@ -64,13 +72,29 @@ def train_lda_topics(docs: DataFrame, num_topics: int = 20,
         words = [vocab[i] for i in row["termIndices"]]
         topics[row["topic"]] = label_topic(words)
 
-    assigned = model.transform(vecs).select("doc_id", "topicDistribution")
-    doc_topics = {
-        r["doc_id"]: [(i, float(p)) for i, p in
-                      enumerate(r["topicDistribution"]) if p > 1e-8]
-        for r in assigned.collect()
-    }
+    doc_topics = (
+        model.transform(vecs)
+        .select("doc_id",
+                F.posexplode(vector_to_array("topicDistribution"))
+                .alias("topic", "share"))
+        .where(F.col("share") > 1e-8))
     return doc_topics, topics
+
+
+def topics_for_docs(doc_topics: DataFrame, doc_ids) -> dict:
+    """Collect topic shares for a SPECIFIC doc set (a top-k ranking) —
+    the only place the topic table reaches the driver, bounded by k·K
+    rows. At scale the isin filter prunes via the doc_id sort/partition
+    order of the persisted table."""
+    ids = list(doc_ids)
+    rows = doc_topics.where(F.col("doc_id").isin(ids)).collect()
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["doc_id"], []).append(
+            (int(r["topic"]), float(r["share"])))
+    for shares in out.values():
+        shares.sort()
+    return out
 
 
 class MMRReRanker:

@@ -37,14 +37,40 @@ def _dir_bytes(path: str) -> int:
 
 
 class StageWriter:
-    """Materializes named stages under ``base_dir`` with resume."""
+    """Materializes named stages under ``base_dir`` with resume.
+
+    ``iceberg_table_prefix`` switches stage materialization from local
+    parquet directories to Iceberg tables (``<prefix>.<stage>`` via
+    ``df.writeTo(...).using("iceberg")``) — the cluster path of the
+    north rule, where the atomic-rename commit becomes an Iceberg
+    snapshot commit and chunk resume maps to partition overwrites.
+    Requires an Iceberg catalog on the session (spark.sql.catalog.*
+    conf + the iceberg-spark-runtime jar); this sandbox has neither, so
+    the branch fails loudly on first write rather than degrading
+    silently, and every test exercises the parquet path
+    (iceberg_table_prefix=None, the default).
+    """
 
     def __init__(self, spark: SparkSession, base_dir: str,
-                 verbose: bool = True):
+                 verbose: bool = True,
+                 iceberg_table_prefix: str | None = None):
         self.spark = spark
         self.base_dir = base_dir
         self.verbose = verbose
+        self.iceberg_table_prefix = iceberg_table_prefix
         os.makedirs(base_dir, exist_ok=True)
+
+    def _write_iceberg(self, df: DataFrame, name: str,
+                       partition_by: list[str] | None) -> DataFrame:
+        """Snapshot-commit one stage as an Iceberg table. Metrics and
+        lineage still go to the local manifest (the audit trail is
+        engine-independent); the data commit itself is Iceberg-atomic."""
+        table = f"{self.iceberg_table_prefix}.{name}"
+        writer = df.writeTo(table).using("iceberg")
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return self.spark.read.table(table)
 
     def _paths(self, name: str) -> tuple[str, str, str]:
         final = os.path.join(self.base_dir, name)
@@ -113,12 +139,39 @@ class StageWriter:
         """
         final, tmp, mpath = self._paths(name)
         lineage = self.lineage_of(*inputs)
+        layout = "iceberg" if self.iceberg_table_prefix else "flat"
         if self.is_complete(name, lineage if inputs else None,
                             expected_schema=df.schema.simpleString(),
-                            params=params or {}, layout="flat"):
+                            params=params or {}, layout=layout):
             if self.verbose:
                 print(f"[stage {name}] resume: complete, skipping")
+            if layout == "iceberg":
+                return self.spark.read.table(
+                    f"{self.iceberg_table_prefix}.{name}")
             return self.spark.read.parquet(final)
+
+        if layout == "iceberg":
+            obs = Observation(f"{name}-{uuid.uuid4().hex[:8]}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            t0 = time.time()
+            out = self._write_iceberg(df, name, partition_by)
+            m = {
+                "name": name, "status": "complete",
+                "commit_id": uuid.uuid4().hex,
+                "rows": obs.get["rows"],
+                "seconds": round(time.time() - t0, 3),
+                "schema": df.schema.simpleString(),
+                "partition_by": partition_by or [],
+                "lineage": lineage, "params": params or {},
+                "layout": "iceberg",
+                "table": f"{self.iceberg_table_prefix}.{name}",
+                "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime()),
+            }
+            os.makedirs(final, exist_ok=True)
+            with open(mpath, "w") as f:
+                json.dump(m, f, indent=1)
+            return out
 
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)

@@ -119,16 +119,30 @@ _LEMMA_RULES = (
 )
 
 
+# per-process memo: vocabulary is Zipfian, so the cache hit rate is high
+# and the dict stays bounded by distinct-token count; the size cap keeps a
+# pathological corpus (random strings) from growing it without bound.
+_LEMMA_CACHE: dict[str, str] = {}
+_LEMMA_CACHE_MAX = 1 << 20
+
+
 def lemmatize(word: str) -> str:
+    cached = _LEMMA_CACHE.get(word)
+    if cached is not None:
+        return cached
     if word in _LEMMA_EXCEPTIONS:
-        return _LEMMA_EXCEPTIONS[word]
-    for suffix, repl in _LEMMA_RULES:
-        if word.endswith(suffix):
-            stem = word[: len(word) - len(suffix)] + repl
-            if len(stem) >= 2:
-                return stem
-            return word
-    return word
+        out = _LEMMA_EXCEPTIONS[word]
+    else:
+        out = word
+        for suffix, repl in _LEMMA_RULES:
+            if word.endswith(suffix):
+                stem = word[: len(word) - len(suffix)] + repl
+                if len(stem) >= 2:
+                    out = stem
+                break
+    if len(_LEMMA_CACHE) < _LEMMA_CACHE_MAX:
+        _LEMMA_CACHE[word] = out
+    return out
 
 
 def ngrams(tokens: list[str], n: int) -> list[str]:
@@ -239,6 +253,20 @@ def ngram_query_weight(term: str) -> float:
 # SimHash (Document.py:155-180 semantics)
 # ---------------------------------------------------------------------------
 
+_MD5_CACHE: dict[str, bytes] = {}
+_MD5_CACHE_MAX = 1 << 20
+
+
+def _md5_digest(token: str) -> bytes:
+    """Memoized md5 digest per token (Zipfian vocab — see _LEMMA_CACHE)."""
+    d = _MD5_CACHE.get(token)
+    if d is None:
+        d = hashlib.md5(token.encode("utf-8")).digest()
+        if len(_MD5_CACHE) < _MD5_CACHE_MAX:
+            _MD5_CACHE[token] = d
+    return d
+
+
 def simhash128(tokens: list[str]) -> int:
     """128-bit SimHash with the reference's occurrence×tf weighting quirk.
 
@@ -255,7 +283,7 @@ def simhash128(tokens: list[str]) -> int:
     # vectorized bit matrix: md5 digest bytes are big-endian, so
     # np.unpackbits (MSB-first) column c == (int(hexdigest,16) >> (127-c)) & 1
     import numpy as np
-    digests = b"".join(hashlib.md5(t.encode("utf-8")).digest() for t in tf)
+    digests = b"".join(_md5_digest(t) for t in tf)
     bits = np.unpackbits(
         np.frombuffer(digests, dtype=np.uint8).reshape(len(tf), 16), axis=1)
     w = np.fromiter((c * c for c in tf.values()), dtype=np.int64,

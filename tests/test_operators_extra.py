@@ -212,9 +212,18 @@ def test_lda_topics_trains(spark):
                             num_partitions=2).drop("text", "lang")
     docs = indexing.extract_pages(pages, ngram_max=1).select(
         "doc_id", "single_tokens")
-    doc_topics, topics = rerank.train_lda_topics(
+    doc_topics_df, topics = rerank.train_lda_topics(
         docs, num_topics=5, max_iter=5)
-    assert len(doc_topics) == 25
     assert set(topics) == {0, 1, 2, 3, 4}
-    for shares in doc_topics.values():
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert doc_topics_df.select("doc_id").distinct().count() == 25
+    # only the requested (top-k) docs are collected driver-side
+    subset = rerank.topics_for_docs(doc_topics_df, all_ids[:7])
+    assert set(subset) == set(all_ids[:7])
+    for shares in subset.values():
         assert abs(sum(p for _, p in shares) - 1.0) < 1e-6
+    # the collected dict plugs straight into the driver-side MMR loop
+    ranking = [{"doc_id": d, "score": 1.0 - 0.01 * i}
+               for i, d in enumerate(all_ids[:7])]
+    out = rerank.MMRReRanker(subset, topics).rank_documents(ranking)
+    assert len(out) == 7
