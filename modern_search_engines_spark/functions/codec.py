@@ -30,11 +30,13 @@ BLOCK = 128
 # varint (LEB128) — vectorized
 # ---------------------------------------------------------------------------
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized, ≤10 bytes/value)."""
+def _varint_encode_with_sizes(values: np.ndarray
+                              ) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value byte counts
+    (lets batch callers split one global encode into per-list blobs)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nbytes = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -53,7 +55,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         more = (nbytes[mask] > (b + 1)).astype(np.uint8) << 7
         buf[idx] = chunk | more
         cur >>= np.uint64(7)
-    return buf.tobytes()
+    return buf.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized, ≤10 bytes/value)."""
+    return _varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(blob: bytes, n_values: int) -> np.ndarray:
@@ -118,6 +125,68 @@ def compress(doc_ids: np.ndarray, scores: np.ndarray) -> dict:
         "block_max": block_max.tobytes(),
         "block_off": offs.tobytes(),
     }
+
+
+def compress_batch(lists: list[tuple[np.ndarray, np.ndarray]]
+                   ) -> list[dict]:
+    """Compress MANY posting lists with cross-list vectorization.
+
+    ``compress`` costs ~20 numpy calls per list; with Zipfian vocabularies
+    the overwhelming majority of lists are a single block (df ≤ BLOCK),
+    and per-list Python overhead dominates the posting-merge stage
+    (measured ~95 µs/term — the stage's scaling bottleneck). Here every
+    single-block list in the batch shares ONE global gap computation and
+    ONE varint encode; per-list work is two byte-slices. Multi-block
+    lists (the Zipf head — a tiny fraction) fall back to ``compress``.
+
+    Output is byte-identical to per-list ``compress`` (tests assert it).
+    """
+    out: list[dict | None] = [None] * len(lists)
+    small_idx = []
+    for i, (ids, sc) in enumerate(lists):
+        n = ids.size
+        if n == 0:
+            out[i] = compress(ids, sc)
+        elif n <= BLOCK:
+            small_idx.append(i)
+        else:
+            out[i] = compress(ids, sc)
+    if not small_idx:
+        return out  # type: ignore[return-value]
+
+    lens = np.array([lists[i][0].size for i in small_idx], dtype=np.int64)
+    allids = np.concatenate(
+        [np.ascontiguousarray(lists[i][0], dtype=np.int64)
+         for i in small_idx])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    gaps = np.empty(allids.size, dtype=np.uint64)
+    gaps[1:] = (allids[1:] - allids[:-1]).astype(np.uint64)
+    gaps[starts] = 0  # first element of each (single) block stores gap 0
+    # one global strict-ascending check (per-list in compress()):
+    # a zero or wrapped-negative gap off a list start means unsorted input
+    nonstart = np.ones(allids.size, dtype=bool)
+    nonstart[starts] = False
+    bad = gaps[nonstart]
+    if bad.size and (bad == 0).any() or (bad >= np.uint64(1 << 63)).any():
+        raise ValueError("doc_ids must be strictly ascending")
+    buf, nbytes = _varint_encode_with_sizes(gaps)
+    byte_ends = np.cumsum(nbytes)
+    blob_end = byte_ends[np.cumsum(lens) - 1]
+    blob_start = np.concatenate(([0], blob_end[:-1]))
+    first_ids = allids[starts]
+    zero_off = np.zeros(1, dtype=np.int64).tobytes()
+    for j, i in enumerate(small_idx):
+        ids, sc = lists[i]
+        sc = np.ascontiguousarray(sc, dtype=np.float64)
+        out[i] = {
+            "n": int(lens[j]),
+            "ids_blob": buf[blob_start[j]:blob_end[j]],
+            "scores_blob": sc.tobytes(),
+            "block_first": first_ids[j:j + 1].tobytes(),
+            "block_max": np.float64(sc.max()).tobytes(),
+            "block_off": zero_off,
+        }
+    return out  # type: ignore[return-value]
 
 
 def decompress(blobs: dict) -> tuple[np.ndarray, np.ndarray]:

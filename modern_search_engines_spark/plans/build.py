@@ -90,11 +90,16 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
     doc_fields = indexing.build_doc_fields(indexed_raw,
                                            stats["avg_date_ts"])
 
+    # flat write (term-sorted within partitions, NOT dir-partitioned by
+    # bucket): this table is the correctness twin + the compressed
+    # stage's input, never the latency-critical scan — the query path
+    # prunes postings_compressed. Dir-partitioning it cost an extra
+    # full-table shuffle + a 64-directory small-file write for nothing.
     bm25 = sw.write_stage(
         indexing.build_bm25_postings(tf, term_stats, doc_len, doc_fields,
                                      stats["avgdl"], n_buckets),
         "bm25_postings", inputs=("tf", "term_stats"),
-        partition_by=["bucket"], sort_within=["term"])
+        sort_within=["term"])
 
     compressed = sw.write_stage(
         postings.build_compressed_postings(bm25, n_salts=n_salts,

@@ -106,3 +106,30 @@ def test_compression_actually_compresses():
     ids = np.arange(n, dtype=np.int64) * 3
     blobs = codec.compress(ids, np.ones(n))
     assert len(blobs["ids_blob"]) < n * 1.5
+
+
+@given(st.lists(
+    st.lists(st.integers(min_value=0, max_value=2**40),
+             min_size=0, max_size=300, unique=True),
+    min_size=1, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_compress_batch_byte_identical(batches):
+    """compress_batch (cross-list vectorized) must emit byte-identical
+    blobs to per-list compress for every list shape — empty, single-
+    block (the vectorized path) and multi-block (the fallback)."""
+    rng = np.random.default_rng(0)
+    lists = []
+    for ids in batches:
+        a = np.sort(np.array(ids, dtype=np.int64))
+        lists.append((a, rng.random(a.size)))
+    got = codec.compress_batch(lists)
+    for (ids, sc), b in zip(lists, got):
+        ref = codec.compress(ids, sc)
+        assert b == ref
+
+
+def test_compress_batch_rejects_unsorted():
+    good = (np.array([1, 5, 9], dtype=np.int64), np.ones(3))
+    bad = (np.array([4, 2], dtype=np.int64), np.ones(2))
+    with pytest.raises(ValueError):
+        codec.compress_batch([good, bad])

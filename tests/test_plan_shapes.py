@@ -37,17 +37,21 @@ def test_query_path_pruned_and_broadcast(spark, tmp_path):
 
     queries = [("q1", "castle museum")]
     terms = query.query_terms_df(spark, queries)
+    # the latency-critical scan is postings_compressed (the WAND path):
+    # its bucket predicate must reach the file scan as PARTITION pruning
+    comp_pruned = query.prune_postings(idx["postings_compressed"], terms)
+    comp_plan = _plan(comp_pruned)
+    assert ("PartitionFilters" in comp_plan
+            and "bucket" in comp_plan), comp_plan
+
+    # the naive/correctness path over bm25_postings (flat layout) still
+    # filters on the bucket COLUMN (pushed predicate) and broadcasts the
+    # tiny terms side — the postings are never shuffled for the join
     pruned = query.prune_postings(idx["bm25_postings"], terms)
     scored = query.score_bm25(pruned, terms)
     plan = _plan(scored)
-
-    # partition pruning: the bucket predicate reaches the file scan
-    assert "PartitionFilters" in plan and "bucket" in plan, plan
-    # the terms side is broadcast — postings are never shuffled for a join
+    assert "bucket" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
-
-    # the pruned scan reads only the matching bucket directories
-    n_buckets_read = plan.count("bucket=")
     assert 0 < len(os.listdir(out + "/bm25_postings"))
 
 
