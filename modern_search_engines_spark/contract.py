@@ -380,6 +380,104 @@ def q_doc2query_expand(spark, sf):
         F.size("single_tokens").alias("n_tokens_after"))
 
 
+def q_text_repetition(spark, sf):
+    """Repetition quality score (LLM-data-pipeline gate): fraction of
+    duplicated word-trigrams per doc — high values flag boilerplate /
+    spam for corpus filtering. Pure JVM expressions."""
+    d = _docs(spark, sf).select("doc_id", _tokens_col().alias("toks"))
+    arr = F.col("toks")
+    tg = F.when(
+        F.size(arr) >= 3,
+        F.transform(F.sequence(F.lit(1), F.size(arr) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(arr, i, 3))),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", tg.alias("tg"))
+    total = F.size("tg")
+    rep = F.when(
+        total > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct("tg"))
+                .cast("double") / total, 6)).otherwise(F.lit(0.0))
+    return d.select("doc_id", total.cast("long").alias("n_trigrams"),
+                    rep.alias("rep_ratio"))
+
+
+def q_dedup_minhash_estimate(spark, sf):
+    """MinHash similarity ESTIMATION vs exact: for each LSH candidate
+    pair, the fraction of agreeing minhash components (the unbiased
+    jaccard estimator) next to the exact shingle jaccard — the
+    calibration table a dedup pipeline uses to pick banding thresholds.
+    Candidates come from the band join (never all-pairs)."""
+    from .operators import dedup
+    sh = _shingles(spark, sf)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary")))
+        .alias(f"h{i}") for i in range(N_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = F.array(*[
+        F.concat_ws("|", F.lit(str(j)), F.col(f"h{2 * j}"),
+                    F.col(f"h{2 * j + 1}"))
+        for j in range(N_BANDS)
+    ])
+    bd = sig.select("doc_id", F.explode(bands).alias("band"))
+    a, b = bd.alias("a"), bd.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"h{i}").alias(f"a{i}")
+                      for i in range(N_MINHASH)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"h{i}").alias(f"b{i}")
+                      for i in range(N_MINHASH)])
+    matches = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                  for i in range(N_MINHASH))
+    exact = dedup.jaccard_near_dups(sh, threshold=None).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(matches.cast("double") / N_MINHASH, 6)
+                    .alias("est_jaccard"))
+            .join(exact, ["doc_a", "doc_b"], "left")
+            .select("doc_a", "doc_b", "est_jaccard",
+                    F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")))
+
+
+def q_embedding_class_stats(spark, sf):
+    """Per-label corpus statistics over the embedding table: class
+    balance + centroid L2 norm — the class-skew report a training-data
+    pipeline runs before sampling. Element-wise centroid via
+    posexplode + two algebraic aggregations (scales: shuffle keys are
+    (label, pos) then label)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    e = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+        .alias("pos", "v"))
+    cent = e.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    norm = cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6)
+        .alias("centroid_norm"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return counts.join(norm, "label").select(
+        "label", "n_vectors", "centroid_norm")
+
+
+def q_events_json_extract(spark, sf):
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column (get_json_object — JVM-side, no UDF) and aggregate
+    per event type."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q_union_dedup_rank(spark, sf):
     """U1: rank-preserving union of two retrieval runs (BM25 ≻ tf-sum),
     keep the first occurrence per doc — deterministic via priority
@@ -923,6 +1021,78 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) < 8
 
 _ORACLE["simhash_pairs"] = _simhash_sql()
 
+_ORACLE["text_repetition"] = """
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN len(f) >= 3
+                THEN list_transform(
+                    generate_series(1, len(f) - 2),
+                    i -> array_to_string(list_slice(f, i, i + 2), ' '))
+                ELSE [] END AS tg
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS f
+          FROM documents)
+)
+SELECT doc_id, len(tg)::BIGINT AS n_trigrams,
+       CASE WHEN len(tg) > 0
+            THEN round(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM t
+"""
+
+_mh_match = " + ".join(
+    f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+    for i in range(N_MINHASH))
+
+_ORACLE["dedup_minhash_estimate"] = f"""
+WITH {_SHINGLE_SQL},
+sig AS (SELECT doc_id, {_minhash_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_rows}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       round(({_mh_match}) / {N_MINHASH}.0, 6) AS est_jaccard,
+       coalesce(e.jaccard, 0.0) AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+LEFT JOIN exact e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+"""
+
+_ORACLE["embedding_class_stats"] = """
+WITH e AS (
+    SELECT label, unnest(embedding::DOUBLE[]) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cent AS (SELECT label, pos, avg(v) AS c FROM e GROUP BY label, pos),
+norm AS (SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
+         FROM cent GROUP BY label),
+cnt AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT label, n_vectors, centroid_norm FROM cnt JOIN norm USING (label)
+"""
+
+_ORACLE["events_json_extract"] = """
+SELECT event_type, count(*) AS n_events,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k,
+       max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
 _ORACLE["union_dedup_rank"] = f"""
 WITH {_TOK_SQL},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -1132,6 +1302,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summarize_lead": q_summarize_lead,
     "doc2query_expand": q_doc2query_expand,
     "union_dedup_rank": q_union_dedup_rank,
+    "text_repetition": q_text_repetition,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "embedding_class_stats": q_embedding_class_stats,
+    "events_json_extract": q_events_json_extract,
     "text_quality": q_text_quality,
     "lang_id_heuristic": q_lang_id_heuristic,
     "token_count_regex": q_token_count_regex,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -61,31 +62,50 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
     else:
         extracted = sw.write_stage(
             indexing.extract_pages(pages, ngram_max), "extracted")
-    indexed = indexing.filter_index_docs(extracted)
-
-    # corpus averages come BEFORE doc2query (DocumentIndex.py:50-62) —
-    # avgdl never includes expansion tokens
-    stats_path = os.path.join(out_dir, STATS_FILE)
-    if os.path.exists(stats_path):
-        with open(stats_path) as f:
-            stats = json.load(f)
-    else:
-        stats = indexing.corpus_stats(indexed)
-        with open(stats_path, "w") as f:
-            json.dump(stats, f)
-
-    indexed_raw = indexed  # pre-expansion: metadata-only stages read this
+    indexed_raw = indexing.filter_index_docs(extracted)
+    indexed = indexed_raw
     if use_doc2query:
         from ..operators import mlhooks
-        indexed = mlhooks.expand_for_index(indexed, ngram_max)
+        indexed = mlhooks.expand_for_index(indexed_raw, ngram_max)
 
-    tf = sw.write_stage(indexing.build_tf(indexed, ngram_max), "tf",
-                        inputs=("extracted",),
-                        params={"use_doc2query": use_doc2query,
-                                "ngram_max": ngram_max})
-    term_stats = sw.write_stage(
-        indexing.build_term_stats(tf, stats["N"]), "term_stats",
-        inputs=("tf",))
+    # corpus averages use the PRE-expansion tokens (DocumentIndex.py:50-62
+    # computes them before doc2query) — avgdl never includes expansions
+    def _stats() -> dict:
+        stats_path = os.path.join(out_dir, STATS_FILE)
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                return json.load(f)
+        s = indexing.corpus_stats(indexed_raw)
+        with open(stats_path, "w") as f:
+            json.dump(s, f)
+        return s
+
+    # Independent stages share the cluster concurrently (Spark's driver
+    # is thread-safe for job submission): corpus_stats, the docs display
+    # table and the tf build all depend only on `extracted`. Running
+    # them back-to-back serializes three job-scheduling floors; at bench
+    # scale the fixed per-job seconds are the dominant anti-scaling term
+    # (Amdahl), and on a real cluster concurrent jobs keep executors
+    # busy across stage tails.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_stats = pool.submit(_stats)
+        f_docs = pool.submit(
+            sw.write_stage, indexed_raw.select(*DOCS_DISPLAY_COLS),
+            "docs", inputs=("extracted",))
+        f_tf = pool.submit(
+            sw.write_stage, indexing.build_tf(indexed, ngram_max), "tf",
+            inputs=("extracted",),
+            params={"use_doc2query": use_doc2query,
+                    "ngram_max": ngram_max})
+        stats = f_stats.result()
+        docs = f_docs.result()
+        tf = f_tf.result()
+
+    # term_stats is a deterministic derivation of tf, so the bm25 stage
+    # consumes its own inline term-stats plan (identical result) and the
+    # term_stats TABLE is committed concurrently instead of serializing
+    # another job barrier before bm25. Lineage via tf covers both.
+    term_stats_plan = indexing.build_term_stats(tf, stats["N"])
     doc_len = indexing.build_doc_len(tf)  # cheap, derived on the fly
     doc_fields = indexing.build_doc_fields(indexed_raw,
                                            stats["avg_date_ts"])
@@ -95,11 +115,16 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
     # stage's input, never the latency-critical scan — the query path
     # prunes postings_compressed. Dir-partitioning it cost an extra
     # full-table shuffle + a 64-directory small-file write for nothing.
-    bm25 = sw.write_stage(
-        indexing.build_bm25_postings(tf, term_stats, doc_len, doc_fields,
-                                     stats["avgdl"], n_buckets),
-        "bm25_postings", inputs=("tf", "term_stats"),
-        sort_within=["term"])
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ts = pool.submit(sw.write_stage, term_stats_plan, "term_stats",
+                           inputs=("tf",))
+        bm25 = sw.write_stage(
+            indexing.build_bm25_postings(tf, term_stats_plan, doc_len,
+                                         doc_fields, stats["avgdl"],
+                                         n_buckets),
+            "bm25_postings", inputs=("tf",),
+            sort_within=["term"])
+        term_stats = f_ts.result()
 
     compressed = sw.write_stage(
         postings.build_compressed_postings(bm25, n_salts=n_salts,
@@ -108,10 +133,9 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         "postings_compressed", inputs=("bm25_postings",),
         partition_by=["bucket"], sort_within=["term", "shard"])
 
-    docs = sw.write_stage(indexed_raw.select(*DOCS_DISPLAY_COLS), "docs",
-                          inputs=("extracted",))
     # doc_idx is a pure expression of doc_id — derive the mapping from
-    # the docs table instead of building/storing a doc_dim stage
+    # the docs table (committed in the phase-B thread pool) instead of
+    # building/storing a doc_dim stage
     doc_dim = postings.doc_dim_from_docs(docs)
 
     return {

@@ -1,0 +1,132 @@
+"""Programmatic serving path — the reference's ``/search`` and
+``/summarize`` endpoints (SearchEngineServer/api/views.py:33-95)
+re-expressed over a built index directory.
+
+The reference unpickles its in-memory index once at server start and
+answers each POST with ``retrieve_bm25``/``retrieve_tfidf`` → top-k →
+document-display dicts → optional MMR diversification
+(DocumentIndex.py:219-230, views.py:51-57). Here the "loaded index" is
+the staged table set (``plans.build.load_index``): a search is
+tokenize_query → bucket-pruned WAND over the compressed postings (bm25)
+or a broadcast-join tf-idf scoring (tfidf) → top-k → a broadcast join
+onto the docs display table → result dicts in the reference's JSON
+shape (url, url_hash, title, description, icon_url, score [, topics]).
+
+Only the ≤ top_k result rows ever reach the driver. The LDA reranker is
+trained lazily on first diversified search (the reference loads its
+pre-trained gensim model at server start, ReRanker.py:15-23) and topic
+shares are fetched per ranking via ``rerank.topics_for_docs`` — the
+full topic table stays distributed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..operators import indexing, mlhooks, query as qmod, rerank, wand
+from .build import load_index
+
+DISPLAY_COLS = ("url", "title", "description", "icon_url")
+
+
+class SearchService:
+    """One loaded index directory; ``search()`` per query."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 n_buckets: int = 64):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.n_buckets = n_buckets
+        self.idx = load_index(spark, index_dir)
+        self.docs = self.idx["docs"].select("doc_id", *DISPLAY_COLS)
+        self._tfidf = None
+        self._reranker = None
+
+    # -- retrieval ----------------------------------------------------------
+
+    def _results(self, ranked) -> list[dict]:
+        """ranked(doc_id, score[, rank]) → reference-shaped dicts
+        (DocumentIndex.__get_documents minus raw_text, which views.py
+        deletes before responding anyway)."""
+        rows = (self.docs.join(F.broadcast(ranked), "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .collect())
+        return [{
+            "url": r["url"], "url_hash": r["doc_id"], "title": r["title"],
+            "description": r["description"], "icon_url": r["icon_url"],
+            "score": float(r["score"]),
+        } for r in rows]
+
+    def _search_bm25(self, q: str, top_k: int) -> list[dict]:
+        ranked = wand.run_wand(
+            self.spark, [("q", q)], self.idx["postings_compressed"],
+            self.idx["doc_dim"], k=top_k, n_buckets=self.n_buckets)
+        return self._results(ranked.select("doc_id", "score"))
+
+    def _search_tfidf(self, q: str, top_k: int) -> list[dict]:
+        if self._tfidf is None:
+            self._tfidf = indexing.build_tfidf(
+                self.idx["tf"], self.idx["term_stats"])
+        terms = qmod.query_terms_df(self.spark, [("q", q)])
+        scored = qmod.score_tfidf(self._tfidf, self.idx["term_stats"],
+                                  terms)
+        top = qmod.topk(scored, top_k)
+        return self._results(top.select("doc_id", "score"))
+
+    def search(self, query: str, top_k: int = 20,
+               retrieval_method: str = "bm25",
+               diversity: float | None = None) -> list[dict]:
+        """views.py:33-61 semantics. ``diversity`` ∈ [0,1] triggers MMR
+        reranking with relevance_importance = 1 − diversity and
+        consider=len(results), exactly the endpoint's parameters."""
+        method = retrieval_method.lower()
+        if method == "bm25":
+            docs = self._search_bm25(query, top_k)
+        elif method == "tfidf":
+            docs = self._search_tfidf(query, top_k)
+        else:
+            raise ValueError(
+                f"Retrieval method not supported: {retrieval_method}")
+        if diversity is not None and docs:
+            docs = self._rerank(docs, 1.0 - float(diversity))
+        return docs
+
+    # -- rerank -------------------------------------------------------------
+
+    def _rerank(self, docs: list[dict],
+                relevance_importance: float) -> list[dict]:
+        if self._reranker is None:
+            extracted = self.spark.read.parquet(
+                os.path.join(self.index_dir, "extracted"))
+            doc_topics_df, topics = rerank.train_lda_topics(
+                extracted.select("doc_id", "single_tokens"))
+            self._doc_topics_df = doc_topics_df.cache()
+            self._topics = topics
+            self._reranker = True
+        ranking = [{"doc_id": d["url_hash"], "score": d["score"], **d}
+                   for d in docs]
+        shares = rerank.topics_for_docs(
+            self._doc_topics_df, [d["doc_id"] for d in ranking])
+        rr = rerank.MMRReRanker(shares, self._topics)
+        out = rr.rank_documents(
+            ranking, relevance_importance=relevance_importance,
+            consider=len(ranking))
+        for d in out:
+            d.pop("doc_id", None)
+        return out
+
+    # -- summarize ----------------------------------------------------------
+
+    def summarize(self, url_hash: str) -> str | None:
+        """views.py:64-95: fetch the document's text by url_hash and run
+        the (pluggable) summarizer. Returns None when the doc is absent
+        (the endpoint's 404)."""
+        row = (self.spark.read.parquet(
+            os.path.join(self.index_dir, "extracted"))
+            .where(F.col("doc_id") == url_hash)
+            .select("text").limit(1).collect())
+        if not row:
+            return None
+        return mlhooks._summarizer(row[0]["text"] or "")
