@@ -4,7 +4,7 @@
     spark-submit --py-files mse.zip jobs/build_index.py \
         --pages /data/pages_parquet --out /data/index \
         [--ngram-max 3] [--n-buckets 64] [--n-salts 8] [--n-shards 1] \
-        [--synthetic N]
+        [--n-extract-chunks 1] [--use-doc2query] [--synthetic N]
 
 The same script runs on a multi-executor cluster (north rule: "runs via
 spark-submit --py-files on multi-executor clusters") — only
@@ -29,6 +29,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--n-shards", type=int, default=1)
+    ap.add_argument("--n-extract-chunks", type=int, default=1,
+                    help="commit extraction per url-hash chunk "
+                         "(per-partition checkpointing)")
+    ap.add_argument("--use-doc2query", action="store_true",
+                    help="expand docs with generated queries before "
+                         "indexing (DocumentIndex.py use_doc2query; "
+                         "plug a real generator via "
+                         "mlhooks.set_query_generator)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --pages")
     args = ap.parse_args(argv)
@@ -48,7 +56,9 @@ def main(argv: list[str] | None = None) -> int:
         idx = build_persistent_index(
             spark, pages, args.out, ngram_max=args.ngram_max,
             n_buckets=args.n_buckets, n_salts=args.n_salts,
-            n_shards=args.n_shards, verbose=True)
+            n_shards=args.n_shards,
+            n_extract_chunks=args.n_extract_chunks,
+            use_doc2query=args.use_doc2query, verbose=True)
         print(json.dumps({"stats": idx["stats"],
                           "stages": idx["writer"].metrics()}))
     finally:

@@ -202,7 +202,10 @@ def q_dedup_ngram_jaccard(spark, sf):
     well-defined similarity at any scale factor.
     """
     from .operators import dedup
-    pairs = dedup.jaccard_near_dups(_shingles(spark, sf), threshold=None,
+    # the shingle table feeds sizes + both self-join sides: cache it so
+    # the tokenize/explode lineage runs once, not three times
+    pairs = dedup.jaccard_near_dups(_shingles(spark, sf).cache(),
+                                    threshold=None,
                                     max_shingle_df=MAX_SHINGLE_DF)
     return (pairs.select("doc_a", "doc_b",
                          F.round("jaccard", 6).alias("jaccard"))
@@ -222,7 +225,9 @@ def q_dedup_minhash_lsh(spark, sf):
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary")))
         .alias(f"h{i}") for i in range(N_MINHASH)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    # signature table feeds both self-join sides — cache to run the
+    # shingle+minhash lineage once
+    sig = sh.groupBy("doc_id").agg(*aggs).cache()
     bands = F.array(*[
         F.concat_ws("|", F.lit(str(j)), F.col(f"h{2 * j}"),
                     F.col(f"h{2 * j + 1}"))
@@ -325,6 +330,25 @@ def q_multimodal_features(spark, sf):
             .select("id", "kind", "n_bytes", "width"))
 
 
+FRAME_EVERY_N = 30
+
+
+def q_multimodal_frame_sample(spark, sf):
+    """Video frame-sampling plumbing: one row per sampled frame index,
+    exploded BEFORE decode so each frame decodes independently
+    (parallelism at frame granularity — operators/multimodal.py
+    frame_sample_plan). Payload bytes stand in for frames."""
+    from .operators import multimodal
+    docs = _docs(spark, sf)
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("image"))
+        .otherwise(F.lit("video")).alias("kind"),
+        F.col("text").cast("binary").alias("payload"))
+    return (multimodal.frame_sample_plan(media, every_n=FRAME_EVERY_N)
+            .select("id", "kind", "frame_idx"))
+
+
 def q_simhash_pairs(spark, sf):
     """SimHash near-dup candidate pairs over the documents table.
 
@@ -343,7 +367,9 @@ def q_simhash_pairs(spark, sf):
     sh = docs.withColumn("sh", udfs.simhash_udf("single_tokens"))
     sh = sh.select("doc_id", F.col("sh.sim_hi").alias("sim_hi"),
                    F.col("sh.sim_lo").alias("sim_lo"))
-    return dedup.simhash_near_dups(sh, max_distance=8)
+    # both sides of the band self-join read this — cache so the simhash
+    # UDF runs once per doc, not twice
+    return dedup.simhash_near_dups(sh.cache(), max_distance=8)
 
 
 def q_summarize_lead(spark, sf):
@@ -408,12 +434,12 @@ def q_dedup_minhash_estimate(spark, sf):
     calibration table a dedup pipeline uses to pick banding thresholds.
     Candidates come from the band join (never all-pairs)."""
     from .operators import dedup
-    sh = _shingles(spark, sf)
+    sh = _shingles(spark, sf).cache()  # feeds sig + exact-jaccard joins
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary")))
         .alias(f"h{i}") for i in range(N_MINHASH)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = sh.groupBy("doc_id").agg(*aggs).cache()  # bands + both sides
     bands = F.array(*[
         F.concat_ws("|", F.lit(str(j)), F.col(f"h{2 * j}"),
                     F.col(f"h{2 * j + 1}"))
@@ -839,6 +865,17 @@ SELECT doc_id AS id,
        octet_length(encode(text)) AS n_bytes,
        CASE WHEN doc_id % 2 = 0 THEN (16 + {_D0} % 64) ELSE 0 END AS width
 FROM documents
+"""
+
+_ORACLE["multimodal_frame_sample"] = f"""
+WITH m AS (
+    SELECT doc_id AS id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+           octet_length(encode(text)) // {FRAME_EVERY_N} AS last_frame
+    FROM documents
+)
+SELECT id, kind, unnest(generate_series(0, last_frame)) AS frame_idx
+FROM m
 """
 
 # --- summarize_lead: sentence-accumulation rule in SQL -----------------------
@@ -1298,6 +1335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recall vs brute force is asserted in tests/test_similarity_ivf.py
     "winnow_fingerprint": q_winnow_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "simhash_pairs": q_simhash_pairs,
     "summarize_lead": q_summarize_lead,
     "doc2query_expand": q_doc2query_expand,
