@@ -169,6 +169,90 @@ def build_compressed_postings(bm25_postings: DataFrame,
     return out
 
 
+def merge_compressed_postings(base: DataFrame,
+                              delta: DataFrame) -> DataFrame:
+    """Merge two compressed posting tables over DISJOINT doc sets (an
+    existing index + a delta built from newly ingested pages) into one —
+    the compaction step of incremental index maintenance
+    (streaming/incremental.py writes the deltas).
+
+    Per (term, bucket, shard): decompress each side's blobs, merge the
+    sorted runs, recompress with the batch codec. The shuffle key is the
+    posting key, so a term present in only one side moves one row and
+    merging is linear in posting bytes; output is byte-identical to a
+    from-scratch build over the union corpus (tested), so repeated
+    merge cycles never drift.
+    """
+    def pack(df: DataFrame) -> DataFrame:
+        return df.select(
+            "term", "bucket", "shard",
+            F.struct(*_BLOB_KEYS).alias("blobs"))
+
+    both = pack(base).unionByName(pack(delta))
+    grouped = both.groupBy("term", "bucket", "shard").agg(
+        F.collect_list("blobs").alias("parts"))
+
+    @F.pandas_udf(BLOBS_SCHEMA)
+    def _merge(parts: pd.Series) -> pd.DataFrame:
+        merged: list[tuple[np.ndarray, np.ndarray]] = []
+        for blob_rows in parts:
+            runs = [codec.decompress({k: r[k] for k in _BLOB_KEYS})
+                    for r in blob_rows]
+            if len(runs) == 1:
+                merged.append(runs[0])
+            else:
+                merged.append(codec.merge_runs(runs))
+        blobs = codec.compress_batch(merged)
+        return pd.DataFrame(
+            {k: [b[k] for b in blobs] for k in _BLOB_KEYS},
+            columns=list(_BLOB_KEYS))
+
+    return (grouped
+            .withColumn("blobs", _merge("parts"))
+            .select("term", "bucket", "shard",
+                    *[F.col(f"blobs.{k}").alias(k) for k in _BLOB_KEYS]))
+
+
+def delete_docs_from_postings(compressed: DataFrame,
+                              doc_idx: list[int]) -> DataFrame:
+    """Remove a set of documents from a compressed posting table (the
+    tombstone/compliance-delete path of index maintenance).
+
+    The delete set is broadcast as a plain Python set into an
+    Arrow-batched UDF that decompresses each list, masks the deleted
+    ids (numpy isin), and recompresses via the batch codec; lists that
+    become empty are dropped. Map-side only — no shuffle: each posting
+    row rewrites in place. For delete sets too large to broadcast,
+    pre-join the doc ids instead; this path covers the common
+    small-tombstone case.
+    """
+    dead = sorted(set(int(d) for d in doc_idx))
+    dead_arr = np.array(dead, dtype=np.int64)
+
+    @F.pandas_udf(BLOBS_SCHEMA)
+    def _strip(n: pd.Series, ids_blob: pd.Series, scores_blob: pd.Series,
+               block_first: pd.Series, block_max: pd.Series,
+               block_off: pd.Series) -> pd.DataFrame:
+        kept: list[tuple[np.ndarray, np.ndarray]] = []
+        for row in zip(n, ids_blob, scores_blob, block_first,
+                       block_max, block_off):
+            blobs = dict(zip(_BLOB_KEYS, row))
+            ids, scores = codec.decompress(blobs)
+            mask = ~np.isin(ids, dead_arr)
+            kept.append((ids[mask], scores[mask]))
+        out = codec.compress_batch(kept)
+        return pd.DataFrame(
+            {k: [b[k] for b in out] for k in _BLOB_KEYS},
+            columns=list(_BLOB_KEYS))
+
+    stripped = compressed.withColumn(
+        "blobs", _strip(*[F.col(k) for k in _BLOB_KEYS]))
+    return (stripped
+            .select("term", "bucket", "shard",
+                    *[F.col(f"blobs.{k}").alias(k) for k in _BLOB_KEYS])
+            .where(F.col("n") > 0))
+
+
 def write_postings(compressed: DataFrame, path: str) -> None:
     """Persist partitioned by bucket → query-time partition pruning.
     (Iceberg ``bucket(term)`` partition transform on a real cluster;

@@ -75,7 +75,16 @@ def start_incremental_tf(spark: SparkSession, pages_dir: str,
 
 
 def compact_tf_deltas(spark: SparkSession, out_dir: str):
-    """Merge all tf deltas into a consolidated tf table."""
+    """Merge all tf deltas into a consolidated tf table.
+
+    The full compaction cycle at posting level: refresh the corpus
+    scalars (N, avgdl, idf — cheap aggregates), rebuild the delta docs'
+    bm25 partials against them, compress the delta with
+    ``postings.build_compressed_postings`` and fold it into the serving
+    table with ``postings.merge_compressed_postings`` (byte-identical
+    to a from-scratch build over the union, so repeated cycles never
+    drift); tombstones go through
+    ``postings.delete_docs_from_postings``."""
     delta_dir = os.path.join(out_dir, "tf_delta")
     deltas = spark.read.option("basePath", delta_dir).parquet(
         os.path.join(delta_dir, "batch=*"))
