@@ -119,6 +119,28 @@ class SearchService:
 
     # -- summarize ----------------------------------------------------------
 
+    def summarize_results(self, docs: list[dict]) -> list[dict]:
+        """Batch summaries for a result list — ``generate_batch_summary``
+        (Summarizer.py:11-15) semantics: a ``summary`` key is added ONLY
+        to results whose stripped text exceeds MAX_SUMMARY_LEN (300)
+        chars (short docs stay un-summarized — quirk replicated). The
+        summarizer hook runs as one distributed Arrow stage over just
+        the requested docs."""
+        ids = [d["url_hash"] for d in docs]
+        if not ids:
+            return docs
+        ext = (self.spark.read.parquet(
+            os.path.join(self.index_dir, "extracted"))
+            .where(F.col("doc_id").isin(ids))
+            .select("doc_id", F.trim(F.col("text")).alias("text"))
+            .where(F.length("text") > 300))
+        got = {r["doc_id"]: r["summary"]
+               for r in mlhooks.summarize(ext).collect()}
+        for d in docs:
+            if d["url_hash"] in got:
+                d["summary"] = got[d["url_hash"]]
+        return docs
+
     def summarize(self, url_hash: str) -> str | None:
         """views.py:64-95: fetch the document's text by url_hash and run
         the (pluggable) summarizer. Returns None when the doc is absent

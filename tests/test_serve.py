@@ -63,6 +63,18 @@ def test_search_with_diversity_reranks(service):
     assert diverse[0]["url_hash"] == plain[0]["url_hash"]  # rank-1 seeds
 
 
+def test_batch_summaries_length_gate(service):
+    docs = service.search("castle museum", top_k=8)
+    out = service.summarize_results(docs)
+    assert out is docs  # mutates in place, like the reference
+    # 49/50 corpus texts exceed the 300-char gate, so summaries must
+    # actually appear on this result set
+    assert any("summary" in d for d in out)
+    for d in out:
+        if "summary" in d:
+            assert isinstance(d["summary"], str) and d["summary"]
+
+
 def test_summarize_known_and_unknown(service, oracle):
     some_id = next(iter(oracle.tf))
     s = service.summarize(some_id)
