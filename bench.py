@@ -125,7 +125,8 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = 0.1
-    n_pages = max(400, int(sf * 800_000))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES")
+                  or max(400, int(sf * 800_000)))
 
     t_start = time.time()
     queries: dict[str, float] = {}
