@@ -43,6 +43,35 @@ class SearchService:
         self.docs = self.idx["docs"].select("doc_id", *DISPLAY_COLS)
         self._tfidf = None
         self._reranker = None
+        self._vocab: dict[str, int] | None = None
+
+    # -- spell correction ---------------------------------------------------
+
+    VOCAB_CAP = 50_000  # bounded driver-side dictionary, like a real
+    #                     spellchecker's fixed word list
+
+    def _vocabulary(self) -> dict[str, int]:
+        """Top-VOCAB_CAP unigram terms by df — the correction dictionary
+        (pyspellchecker ships a fixed ~word list; here the index's own
+        head vocabulary plays that role, collected once and bounded)."""
+        if self._vocab is None:
+            rows = (self.idx["term_stats"]
+                    .where(~F.col("term").contains(" "))
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(self.VOCAB_CAP)
+                    .select("term", "df").collect())
+            self._vocab = {r["term"]: int(r["df"]) for r in rows}
+        return self._vocab
+
+    def correct_query(self, query: str) -> str:
+        """Norvig-style per-word correction against the index vocabulary
+        (textlib.spell_correct_vocab) — the opt-in stand-in for the
+        reference's pyspellchecker pass (Tokenizer.py:36-41)."""
+        from .. import textlib
+        vocab = self._vocabulary()
+        return " ".join(
+            textlib.spell_correct_vocab(w, vocab)
+            for w in query.lower().split())
 
     # -- retrieval ----------------------------------------------------------
 
@@ -77,10 +106,16 @@ class SearchService:
 
     def search(self, query: str, top_k: int = 20,
                retrieval_method: str = "bm25",
-               diversity: float | None = None) -> list[dict]:
+               diversity: float | None = None,
+               spell_correct: bool = False) -> list[dict]:
         """views.py:33-61 semantics. ``diversity`` ∈ [0,1] triggers MMR
         reranking with relevance_importance = 1 − diversity and
-        consider=len(results), exactly the endpoint's parameters."""
+        consider=len(results), exactly the endpoint's parameters.
+        ``spell_correct`` opts into the vocabulary-based correction pass
+        (off by default: the parity-tested query path matches the
+        oracle, which replicates the reference minus pyspellchecker)."""
+        if spell_correct:
+            query = self.correct_query(query)
         method = retrieval_method.lower()
         if method == "bm25":
             docs = self._search_bm25(query, top_k)

@@ -192,8 +192,44 @@ SYNONYMS: dict[str, tuple[str, ...]] = {
 
 
 def spell_correct(word: str) -> str:
-    """Identity stand-in for pyspellchecker (Tokenizer.py:36-41)."""
+    """Identity stand-in for pyspellchecker (Tokenizer.py:36-41).
+
+    pyspellchecker's bundled English frequency dictionary is not in this
+    container, so the default query path does no correction (documented
+    divergence, BASELINE.md "Parity scope"). ``spell_correct_vocab``
+    below provides the same Norvig-style candidate model against a
+    caller-supplied vocabulary (e.g. the index's unigram term_stats)
+    for deployments that want correction without the package.
+    """
     return word
+
+
+def _edits1(word: str) -> set[str]:
+    letters = "abcdefghijklmnopqrstuvwxyzäöüß"
+    splits = [(word[:i], word[i:]) for i in range(len(word) + 1)]
+    deletes = {a + b[1:] for a, b in splits if b}
+    transposes = {a + b[1] + b[0] + b[2:] for a, b in splits if len(b) > 1}
+    replaces = {a + c + b[1:] for a, b in splits if b for c in letters}
+    inserts = {a + c + b for a, b in splits for c in letters}
+    return deletes | transposes | replaces | inserts
+
+
+def spell_correct_vocab(word: str, vocab: dict[str, int]) -> str:
+    """Norvig-style correction against a frequency vocabulary
+    (pyspellchecker's public algorithm: known word wins, else the
+    highest-frequency known candidate at edit distance 1, else 2, else
+    the word unchanged). Deterministic tie-break: frequency desc, then
+    lexicographic. ``vocab`` maps word → frequency (e.g. term → df from
+    the index's unigram term_stats)."""
+    if not word or word in vocab:
+        return word
+    e1 = _edits1(word)
+    known = [w for w in e1 if w in vocab]
+    if not known:
+        known = [w for c in e1 for w in _edits1(c) if w in vocab]
+    if not known:
+        return word
+    return min(known, key=lambda w: (-vocab[w], w))
 
 
 def tokenize_query(query: str, ngram_max: int = 3,

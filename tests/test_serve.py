@@ -75,6 +75,18 @@ def test_batch_summaries_length_gate(service):
             assert isinstance(d["summary"], str) and d["summary"]
 
 
+def test_spell_corrected_search_recovers_typo(service):
+    good = service.search("castle", top_k=5)
+    typo_plain = service.search("casle", top_k=5)
+    typo_fixed = service.search("casle", top_k=5, spell_correct=True)
+    # uncorrected single-term typo matches no posting list at all
+    assert good and typo_plain == []
+    # corrected query reproduces the clean query exactly (ids + scores)
+    assert [(d["url_hash"], d["score"]) for d in typo_fixed] == \
+        [(d["url_hash"], d["score"]) for d in good]
+    assert service.correct_query("casle") == "castle"
+
+
 def test_summarize_known_and_unknown(service, oracle):
     some_id = next(iter(oracle.tf))
     s = service.summarize(some_id)

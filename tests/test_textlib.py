@@ -152,3 +152,23 @@ def test_index_filter_scheme_bug_replicated():
     assert not T.index_filter("https://tuebingen.example/x", True, ["castle"])
     assert T.index_filter("https://a.example/x", True, ["tübingen"])
     assert not T.index_filter("https://a.example/x", False, ["tübingen"])
+
+
+def test_spell_correct_vocab_norvig_model():
+    from modern_search_engines_spark.textlib import spell_correct_vocab
+    vocab = {"castle": 50, "cattle": 80, "museum": 30, "tübingen": 10}
+    assert spell_correct_vocab("castle", vocab) == "castle"  # known wins
+    # edit-distance-1: highest frequency candidate wins
+    assert spell_correct_vocab("casle", vocab) == "castle"
+    assert spell_correct_vocab("castl", vocab) == "castle"
+    assert spell_correct_vocab("catle", vocab) == "cattle"  # 80 > 50
+    # edit-distance-2 fallback
+    assert spell_correct_vocab("musum", vocab) == "museum"
+    assert spell_correct_vocab("msum", vocab) == "museum"
+    # unknown beyond distance 2: unchanged
+    assert spell_correct_vocab("zzzzzzzz", vocab) == "zzzzzzzz"
+    # umlaut letters participate in edits
+    assert spell_correct_vocab("tubingen", vocab) == "tübingen"
+    # deterministic tie-break: equal frequency -> lexicographic
+    v2 = {"aab": 5, "aac": 5}
+    assert spell_correct_vocab("aaa", v2) == "aab"
