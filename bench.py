@@ -251,6 +251,22 @@ def main() -> None:
         wand.run_wand(spark, BENCH_QUERIES, comp, dim, k=100).collect()
         queries["wand_batch_20q_sec"] = round(time.time() - t0, 4)
 
+        # hot serving path (plans/hot.py): same index, same WAND, no
+        # Spark job per query — the interactive-latency tier
+        from modern_search_engines_spark.plans.hot import HotSearcher
+        hot = HotSearcher(os.path.join(work, f"idx{hi}"))
+        hot.search(BENCH_QUERIES[0][1], top_k=100)  # warm caches
+        hot_lats = []
+        for _, qtext in BENCH_QUERIES:
+            t0 = time.time()
+            hot.search(qtext, top_k=100)
+            hot_lats.append(time.time() - t0)
+        hot_lats.sort()
+        queries["wand_hot_p50_sec"] = round(
+            statistics.median(hot_lats), 4)
+        queries["wand_hot_p95_sec"] = round(
+            hot_lats[max(0, int(len(hot_lats) * 0.95) - 1)], 4)
+
         # -- 3. driver-contract queries at the sf dir --------------------
         for name in CONTRACT_BENCH:
             fn = contract.QUERIES[name]
