@@ -8,12 +8,48 @@ Replicates the reference's batch runner (batch_retrieve.py:11-38): TSV
 queries ``qid\\tquery`` in, one distributed scoring pass for ALL queries,
 TSV run file ``qid\\trank\\turl\\tscore`` out. ``--method wand`` uses the
 block-max WAND path over compressed postings (rank-identical to bm25).
+
+``--rerank-diversity D`` applies the reference's MMR diversification
+before writing (batch_retrieve.py:33 calls rank_documents with
+relevance_importance=0.9 — i.e. D=0.1 — and consider=len(docs)); LDA
+topics train once from the index's extracted tokens, topic shares are
+fetched per ranking, and only the ≤k result rows ever reach the driver.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+
+def _rerank_results(spark, index_dir: str, results,
+                    relevance_importance: float):
+    """Per-query MMR diversification of a (qid, rank, doc_id, score)
+    results frame — batch_retrieve.py:33 semantics. The collected rows
+    are bounded by k·|queries|; the topic table stays distributed."""
+    from modern_search_engines_spark.operators import rerank
+
+    extracted = spark.read.parquet(os.path.join(index_dir, "extracted"))
+    doc_topics_df, topics = rerank.train_lda_topics(
+        extracted.select("doc_id", "single_tokens"))
+    rows = results.select("qid", "rank", "doc_id", "score").collect()
+    by_qid: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        by_qid.setdefault(r["qid"], []).append(
+            {"doc_id": r["doc_id"], "score": float(r["score"])})
+    all_ids = sorted({r["doc_id"] for r in rows})
+    shares = rerank.topics_for_docs(doc_topics_df, all_ids)
+    out_rows = []
+    for qid, ranking in by_qid.items():
+        rr = rerank.MMRReRanker(shares, topics)
+        reranked = rr.rank_documents(
+            ranking, relevance_importance=relevance_importance,
+            consider=len(ranking))
+        for i, d in enumerate(reranked, 1):
+            out_rows.append((qid, i, d["doc_id"], d["score"]))
+    return spark.createDataFrame(
+        out_rows, "qid string, rank int, doc_id string, score double")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -24,6 +60,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--method", default="wand",
                     choices=("wand", "bm25", "tfidf"))
+    ap.add_argument("--rerank-diversity", type=float, default=None,
+                    help="MMR diversity in [0,1]; reference batch run "
+                         "uses 0.1 (relevance_importance=0.9)")
     args = ap.parse_args(argv)
 
     from modern_search_engines_spark.operators import query as qmod
@@ -46,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
                                                     idx["term_stats"])
             results = qmod.run_batch(spark, queries, idx, k=args.k,
                                      method=args.method)
+        if args.rerank_diversity is not None:
+            results = _rerank_results(
+                spark, args.index, results, 1.0 - args.rerank_diversity)
         qmod.write_run_file(results, idx["docs"], args.out)
         print(f"wrote run file for {len(queries)} queries to {args.out}")
     finally:

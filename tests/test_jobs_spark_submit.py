@@ -51,14 +51,39 @@ def test_spark_submit_build_and_query(tmp_path):
         capture_output=True, text=True, timeout=420, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
 
-    rows = []
-    for name in sorted(os.listdir(out)):
-        if name.startswith("part-"):
-            with open(os.path.join(out, name)) as f:
-                rows += list(csv.reader(f, delimiter="\t"))
+    def read_run(path):
+        rows = []
+        for name in sorted(os.listdir(path)):
+            if name.startswith("part-"):
+                with open(os.path.join(path, name)) as f:
+                    rows += list(csv.reader(f, delimiter="\t"))
+        return rows
+
+    rows = read_run(out)
     assert rows, "empty run file"
     qids = {r[0] for r in rows}
     assert qids <= {"q1", "q2"}
     for qid, rank, url, score in rows:
         assert rank.isdigit() and url.startswith("http")
         float(score)
+
+    # reranked run (batch_retrieve.py:33: diversity 0.1) — same doc sets
+    # per query, ranks renumbered 1..n contiguously
+    out2 = str(tmp_path / "run_rr")
+    r = subprocess.run(
+        base + [os.path.join(repo, "jobs", "run_queries.py"),
+                "--index", idx, "--queries", qf, "--out", out2,
+                "--k", "10", "--method", "wand",
+                "--rerank-diversity", "0.1"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    rr_rows = read_run(out2)
+    plain_by_q, rr_by_q = {}, {}
+    for q, rank, url, score in rows:
+        plain_by_q.setdefault(q, set()).add(url)
+    for q, rank, url, score in rr_rows:
+        rr_by_q.setdefault(q, set()).add(url)
+    assert rr_by_q == plain_by_q
+    for q in rr_by_q:
+        ranks = sorted(int(r[1]) for r in rr_rows if r[0] == q)
+        assert ranks == list(range(1, len(ranks) + 1))
