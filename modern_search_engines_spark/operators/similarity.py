@@ -73,7 +73,7 @@ def train_ivf(emb: DataFrame, n_lists: int = 16, seed: int = 7):
     ``assigned_df`` carries a ``list_id`` column — the IVF partition key
     when the table is persisted (scan prunes to probed lists)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = emb.withColumn(
         "fv", array_to_vector(
