@@ -31,6 +31,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="qrels TSV (qid, url, relevant in {1,-1})")
     ap.add_argument("--model", default="run",
                     help="model name for the summary row")
+    ap.add_argument("--per-query-out", default=None,
+                    help="optional parquet path for the full per-query "
+                         "metric table (distributed write — at millions "
+                         "of queries the table must not be collected)")
+    ap.add_argument("--json-queries-cap", type=int, default=1000,
+                    help="max per-query entries inlined in the JSON")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -49,10 +55,17 @@ def main(argv: list[str] | None = None) -> int:
         per_q = evaluate.evaluate_runs(runs, qrels).cache()
         summary = evaluate.summarize_by_model(
             per_q.withColumn("model", F.lit(args.model)))
+        if args.per_query_out:
+            per_q.write.mode("overwrite").parquet(args.per_query_out)
+        # JSON inlines a bounded per-query sample; the full table goes
+        # through the distributed parquet sink above
+        sample = per_q.orderBy("qid").limit(args.json_queries_cap)
         out = {
             "per_query": {r["qid"]: {"mrr": r["mrr"], "ndcg": r["ndcg"],
                                      "map": r["map"]}
-                          for r in per_q.collect()},
+                          for r in sample.collect()},
+            "per_query_truncated":
+                per_q.count() > args.json_queries_cap,
             "summary": [row.asDict() for row in summary.collect()],
         }
         print(json.dumps(out))

@@ -26,30 +26,16 @@ import sys
 def _rerank_results(spark, index_dir: str, results,
                     relevance_importance: float):
     """Per-query MMR diversification of a (qid, rank, doc_id, score)
-    results frame — batch_retrieve.py:33 semantics. The collected rows
-    are bounded by k·|queries|; the topic table stays distributed."""
+    results frame — batch_retrieve.py:33 semantics, fully distributed
+    (one applyInPandas group per query; nothing reaches the driver)."""
     from modern_search_engines_spark.operators import rerank
 
     extracted = spark.read.parquet(os.path.join(index_dir, "extracted"))
     doc_topics_df, topics = rerank.train_lda_topics(
         extracted.select("doc_id", "single_tokens"))
-    rows = results.select("qid", "rank", "doc_id", "score").collect()
-    by_qid: dict[str, list] = {}
-    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
-        by_qid.setdefault(r["qid"], []).append(
-            {"doc_id": r["doc_id"], "score": float(r["score"])})
-    all_ids = sorted({r["doc_id"] for r in rows})
-    shares = rerank.topics_for_docs(doc_topics_df, all_ids)
-    out_rows = []
-    for qid, ranking in by_qid.items():
-        rr = rerank.MMRReRanker(shares, topics)
-        reranked = rr.rank_documents(
-            ranking, relevance_importance=relevance_importance,
-            consider=len(ranking))
-        for i, d in enumerate(reranked, 1):
-            out_rows.append((qid, i, d["doc_id"], d["score"]))
-    return spark.createDataFrame(
-        out_rows, "qid string, rank int, doc_id string, score double")
+    return rerank.diversify_runs(
+        results.select("qid", "rank", "doc_id", "score"), doc_topics_df,
+        topics, relevance_importance=relevance_importance)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -97,6 +97,53 @@ def topics_for_docs(doc_topics: DataFrame, doc_ids) -> dict:
     return out
 
 
+def diversify_runs(results: DataFrame, doc_topics: DataFrame,
+                   topics: dict, relevance_importance: float = 0.9
+                   ) -> DataFrame:
+    """Distributed per-query MMR diversification of a batch run:
+    results(qid, rank, doc_id, score) → same schema, reranked.
+
+    The greedy MMR loop is inherently sequential WITHIN a query
+    (ReRanker.py:41-60) but embarrassingly parallel ACROSS queries —
+    exactly the ``applyInPandas``-per-qid shape: topic shares join onto
+    the results distributedly, each group call reranks one query's ≤ k
+    rows with the same ``MMRReRanker`` engine, and nothing reaches the
+    driver (a driver-side loop over collected results would bottleneck
+    at millions of queries). ``topics`` (numtopics label entries) rides
+    into the workers via closure capture — scalars, not data.
+    """
+    import pandas as pd
+
+    joined = results.join(doc_topics, "doc_id", "left")
+
+    def _one_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["qid"].iloc[0]
+        per_doc = (pdf.drop_duplicates("rank")
+                   .sort_values("rank"))
+        ranking = [{"doc_id": d, "score": float(s)}
+                   for d, s in zip(per_doc["doc_id"], per_doc["score"])]
+        shares: dict = {}
+        for d, t, p in zip(pdf["doc_id"], pdf["topic"], pdf["share"]):
+            if pd.notna(t):
+                shares.setdefault(d, []).append((int(t), float(p)))
+        for v in shares.values():
+            v.sort()
+        rr = MMRReRanker(shares, topics)
+        out = rr.rank_documents(
+            ranking, relevance_importance=relevance_importance,
+            consider=len(ranking))
+        return pd.DataFrame({
+            "qid": [qid] * len(out),
+            "rank": range(1, len(out) + 1),
+            "doc_id": [d["doc_id"] for d in out],
+            "score": [d["score"] for d in out],
+        })
+
+    return (joined.groupBy("qid").applyInPandas(
+        _one_query,
+        schema="qid string, rank int, doc_id string, score double"))
+
+
 class MMRReRanker:
     """Driver-side greedy diversification over a collected top-k
     (ReRanker.py:25-100 semantics)."""

@@ -227,3 +227,35 @@ def test_lda_topics_trains(spark):
                for i, d in enumerate(all_ids[:7])]
     out = rerank.MMRReRanker(subset, topics).rank_documents(ranking)
     assert len(out) == 7
+
+
+def test_diversify_runs_matches_driver_mmr(spark):
+    """Distributed per-query MMR (applyInPandas) must equal the
+    driver-side MMRReRanker on identical inputs, query by query."""
+    doc_topics_rows = [("d0", 0, 1.0), ("d1", 0, 1.0), ("d2", 1, 1.0),
+                       ("d3", 0, 1.0), ("d4", 1, 1.0)]
+    topics = {0: "A", 1: "B"}
+    results_rows = []
+    for qid in ("q1", "q2"):
+        for i in range(5):
+            results_rows.append((qid, i + 1, f"d{i}", 1.0 - 0.1 * i))
+    results = spark.createDataFrame(
+        results_rows, "qid string, rank int, doc_id string, score double")
+    doc_topics = spark.createDataFrame(
+        doc_topics_rows, "doc_id string, topic int, share double")
+
+    out = rerank.diversify_runs(results, doc_topics, topics,
+                                relevance_importance=0.1)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    for qid in got:
+        got[qid].sort()
+
+    shares = {d: [(t, p)] for d, t, p in doc_topics_rows}
+    rr = rerank.MMRReRanker(shares, topics)
+    expected = rr.rank_documents(
+        [{"doc_id": f"d{i}", "score": 1.0 - 0.1 * i} for i in range(5)],
+        relevance_importance=0.1, consider=5)
+    exp = [(i + 1, d["doc_id"]) for i, d in enumerate(expected)]
+    assert got == {"q1": exp, "q2": exp}
