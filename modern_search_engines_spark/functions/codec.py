@@ -167,7 +167,8 @@ def compress_batch(lists: list[tuple[np.ndarray, np.ndarray]]
     nonstart = np.ones(allids.size, dtype=bool)
     nonstart[starts] = False
     bad = gaps[nonstart]
-    if bad.size and (bad == 0).any() or (bad >= np.uint64(1 << 63)).any():
+    if bad.size and ((bad == 0).any()
+                     or (bad >= np.uint64(1 << 63)).any()):
         raise ValueError("doc_ids must be strictly ascending")
     buf, nbytes = _varint_encode_with_sizes(gaps)
     byte_ends = np.cumsum(nbytes)
