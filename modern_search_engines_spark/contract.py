@@ -287,16 +287,26 @@ def q_ann_lsh_topk(spark, sf):
 
 
 def q_ann_ivf_topk(spark, sf):
-    """IVF ANN top-10 (k-means coarse quantizer, n_probe=4) — rows-only
-    contract entry (k-means is not ANSI SQL); recall vs brute force is
-    asserted by tests/test_similarity_ivf.py."""
+    """IVF ANN top-10 with a FIXED deterministic codebook (centroids =
+    embeddings of vec_ids 1..8), n_probe=4: assignment is argmax-cosine
+    over the 8 centroids (JVM folds), probing ranks centroids by cosine
+    to the query (vec_id 0), exact search inside the 4 probed lists
+    only. Fixed centroids make the full IVF path (assign → probe →
+    within-list exact top-k) ANSI-SQL-expressible for the DuckDB twin;
+    the k-means-trained codebook variant (train_ivf) is pytest-verified
+    for recall in tests/test_similarity_ivf.py instead (Lloyd's
+    iterations are not SQL). All cosines rounded to 6dp pre-ranking so
+    both engines agree on argmax/probe/rank despite last-ulp float
+    divergence."""
     from .operators import similarity
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    qvec = [float(x) for x in
-            emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    assigned, centroids = similarity.train_ivf(emb, n_lists=8)
-    return (similarity.ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
-            .select("vec_id", F.round("cos", 6).alias("cos"), "rank"))
+    seed = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.where(F.col("vec_id") <= 8).collect()}
+    qvec = seed[0]
+    centroids = [seed[i] for i in range(1, 9)]
+    assigned = similarity.assign_lists(emb, centroids, round_to=6)
+    return similarity.ivf_topk(assigned, centroids, qvec, k=10,
+                               n_probe=4, round_to=6)
 
 
 def q_winnow_fingerprint(spark, sf):
@@ -854,6 +864,41 @@ ranked AS (SELECT vec_id, cos,
 SELECT vec_id, cos, rank FROM ranked WHERE rank <= 10
 """
 
+_ORACLE["ann_ivf_topk"] = """
+WITH cents AS (
+    SELECT vec_id - 1 AS list_id, embedding::DOUBLE[] AS ce
+    FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+-- assignment: argmax cosine over the 8 fixed centroids, tie -> lowest id
+asg AS (
+    SELECT e.vec_id, e.embedding,
+           (SELECT c.list_id FROM cents c
+            ORDER BY round(list_cosine_similarity(
+                              e.embedding::DOUBLE[], c.ce), 6) DESC,
+                     c.list_id ASC
+            LIMIT 1) AS list_id
+    FROM embeddings e
+),
+-- probe: the 4 centroids nearest the query vector
+probed AS (
+    SELECT c.list_id FROM cents c, q
+    ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC,
+             c.list_id ASC
+    LIMIT 4
+),
+scored AS (
+    SELECT a.vec_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], q.qe), 6)
+               AS cos
+    FROM asg a, q WHERE a.list_id IN (SELECT list_id FROM probed)
+),
+ranked AS (SELECT vec_id, cos,
+                  row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored)
+SELECT vec_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+
 # fake decoder: width = 16 + first_md5_byte % 64 for images, 0 otherwise
 _HEXPOS = "strpos('0123456789abcdef', {c}) - 1"
 _D0 = (f"(({_HEXPOS.format(c='substring(md5(text), 1, 1)')}) * 16 + "
@@ -1331,8 +1376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,  # rows-only: k-means is not ANSI SQL;
-    # recall vs brute force is asserted in tests/test_similarity_ivf.py
+    "ann_ivf_topk": q_ann_ivf_topk,
     "winnow_fingerprint": q_winnow_fingerprint,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,

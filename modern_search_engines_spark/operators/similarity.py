@@ -87,28 +87,54 @@ def train_ivf(emb: DataFrame, n_lists: int = 16, seed: int = 7):
 
 
 def _nearest_lists(qvec: list[float], centroids: list[list[float]],
-                   n_probe: int) -> list[int]:
+                   n_probe: int, round_to: int | None = None) -> list[int]:
     import math
     nq = math.sqrt(sum(x * x for x in qvec)) or 1.0
 
     def cos(c):
         dot = sum(a * b for a, b in zip(qvec, c))
         nc = math.sqrt(sum(x * x for x in c)) or 1.0
-        return dot / (nc * nq)
+        v = dot / (nc * nq)
+        return round(v, round_to) if round_to is not None else v
 
     order = sorted(range(len(centroids)),
                    key=lambda i: (-cos(centroids[i]), i))
     return order[:n_probe]
 
 
+def assign_lists(emb: DataFrame, centroids: list[list[float]],
+                 round_to: int = 6) -> DataFrame:
+    """IVF assignment against FIXED centroids: ``list_id`` = argmax over
+    centroids of cosine(embedding, centroid), ties → lowest index. Pure
+    JVM higher-order functions (one fold per centroid), no Python per
+    row; cosines are rounded to ``round_to`` decimals so a cross-engine
+    twin (DuckDB ``list_cosine_similarity``) lands on the same argmax.
+
+    This is the quantizer-free half of IVF — use ``train_ivf`` when a
+    k-means codebook should be learned instead (pytest-verified; k-means
+    is not expressible in the ANSI-SQL oracle, fixed centroids are)."""
+    cos_arr = F.array(*[F.round(_cos_expr(c), round_to) for c in centroids])
+    return emb.withColumn(
+        "list_id",
+        (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int"))
+
+
 def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
-             qvec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+             qvec: list[float], k: int = 10, n_probe: int = 4,
+             round_to: int | None = None) -> DataFrame:
     """(vec_id, cos, rank) — IVF search: rank the ``n_probe`` nearest
     inverted lists driver-side (centroids are tiny), exact cosine inside
     the probed lists only. At 10^9+-vector scale ``list_id`` is the
     table's partition column, so the scan reads n_probe/n_lists of the
-    data; recall is tunable via n_probe (=n_lists ⇒ exact)."""
-    lists = _nearest_lists(qvec, centroids, n_probe)
+    data; recall is tunable via n_probe (=n_lists ⇒ exact).
+
+    ``round_to`` rounds every cosine (probe ranking AND scoring) before
+    ordering — set it when a cross-engine twin must reproduce the exact
+    probe set and ranks despite last-ulp float divergence."""
+    lists = _nearest_lists(qvec, centroids, n_probe, round_to=round_to)
+    cos = _cos_expr(qvec)
+    if round_to is not None:
+        cos = F.round(cos, round_to)
     scored = (assigned.where(F.col("list_id").isin(lists))
-              .select("vec_id", _cos_expr(qvec).alias("cos")))
+              .select("vec_id", cos.alias("cos")))
     return ranked_topk(scored, _order(), k, key_col="vec_id")
