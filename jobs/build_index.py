@@ -4,7 +4,8 @@
     spark-submit --py-files mse.zip jobs/build_index.py \
         --pages /data/pages_parquet --out /data/index \
         [--ngram-max 3] [--n-buckets 64] [--n-salts 8] [--n-shards 1] \
-        [--n-extract-chunks 1] [--use-doc2query] [--synthetic N]
+        [--n-extract-chunks 1] [--use-doc2query] [--synthetic N] \
+        [--materialize-bm25]
 
 The same script runs on a multi-executor cluster (north rule: "runs via
 spark-submit --py-files on multi-executor clusters") — only
@@ -37,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
                          "indexing (DocumentIndex.py use_doc2query; "
                          "plug a real generator via "
                          "mlhooks.set_query_generator)")
+    ap.add_argument("--materialize-bm25", action="store_true",
+                    help="also commit the flat uncompressed bm25_postings "
+                         "table (one row per term-doc — doubles the "
+                         "biggest stage's I/O; the query path only needs "
+                         "postings_compressed)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --pages")
     args = ap.parse_args(argv)
@@ -58,7 +64,8 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.n_buckets, n_salts=args.n_salts,
             n_shards=args.n_shards,
             n_extract_chunks=args.n_extract_chunks,
-            use_doc2query=args.use_doc2query, verbose=True)
+            use_doc2query=args.use_doc2query,
+            materialize_bm25=args.materialize_bm25, verbose=True)
         print(json.dumps({"stats": idx["stats"],
                           "stages": idx["writer"].metrics()}))
     finally:

@@ -33,6 +33,7 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
                            n_buckets: int = 64, n_salts: int = 8,
                            n_shards: int = 1, n_extract_chunks: int = 1,
                            use_doc2query: bool = False,
+                           materialize_bm25: bool = True,
                            verbose: bool = True) -> dict:
     """Run (or resume) the full staged build; returns handles + stats.
 
@@ -40,6 +41,16 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
     url-hash-range chunk (per-partition checkpointing): a kill mid-
     extraction resumes from the last complete chunk instead of
     restarting the stage (sources/tables.py write_stage_chunked).
+
+    ``materialize_bm25=False`` fuses the uncompressed-postings stage
+    into the compressed one: the BM25 scoring plan feeds
+    ``build_compressed_postings`` directly instead of round-tripping
+    the index's biggest intermediate table (one row per (term, doc) —
+    tf-sized) through parquet. At 100-TB scale that round-trip doubles
+    the I/O of the largest stage; skip it unless the flat postings
+    table itself is wanted (debugging, the naive scoring path, the
+    correctness twin). Resume granularity becomes
+    extracted → tf → postings_compressed.
 
     ``use_doc2query`` mirrors ``DocumentIndex.py:47-66`` (where it
     defaults ON): after corpus averages, every indexed doc's token
@@ -115,23 +126,27 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
     # stage's input, never the latency-critical scan — the query path
     # prunes postings_compressed. Dir-partitioning it cost an extra
     # full-table shuffle + a 64-directory small-file write for nothing.
+    bm25_plan = indexing.build_bm25_postings(tf, term_stats_plan, doc_len,
+                                             doc_fields, stats["avgdl"],
+                                             n_buckets)
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_ts = pool.submit(sw.write_stage, term_stats_plan, "term_stats",
                            inputs=("tf",))
-        bm25 = sw.write_stage(
-            indexing.build_bm25_postings(tf, term_stats_plan, doc_len,
-                                         doc_fields, stats["avgdl"],
-                                         n_buckets),
-            "bm25_postings", inputs=("tf",),
-            sort_within=["term"])
+        if materialize_bm25:
+            bm25 = sw.write_stage(bm25_plan, "bm25_postings",
+                                  inputs=("tf",), sort_within=["term"])
+            compressed_input, compressed_lineage = bm25, ("bm25_postings",)
+        else:
+            bm25 = bm25_plan  # queryable plan, never round-tripped
+            compressed_input, compressed_lineage = bm25_plan, ("tf",)
+        compressed = sw.write_stage(
+            postings.build_compressed_postings(compressed_input,
+                                               n_salts=n_salts,
+                                               n_shards=n_shards,
+                                               n_buckets=n_buckets),
+            "postings_compressed", inputs=compressed_lineage,
+            partition_by=["bucket"], sort_within=["term", "shard"])
         term_stats = f_ts.result()
-
-    compressed = sw.write_stage(
-        postings.build_compressed_postings(bm25, n_salts=n_salts,
-                                           n_shards=n_shards,
-                                           n_buckets=n_buckets),
-        "postings_compressed", inputs=("bm25_postings",),
-        partition_by=["bucket"], sort_within=["term", "shard"])
 
     # doc_idx is a pure expression of doc_id — derive the mapping from
     # the docs table (committed in the phase-B thread pool) instead of
@@ -159,6 +174,11 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
 
     rd = lambda n: spark.read.parquet(os.path.join(out_dir, n))  # noqa: E731
     docs = rd("docs")
+    # fused builds (materialize_bm25=False) never wrote the flat table;
+    # the query/WAND path needs only postings_compressed
+    bm25 = (rd("bm25_postings")
+            if os.path.exists(os.path.join(out_dir, "bm25_postings"))
+            else None)
     # back-compat: older indexes materialized doc_dim as its own table
     dim_path = os.path.join(out_dir, "doc_dim")
     doc_dim = (rd("doc_dim") if os.path.exists(dim_path)
@@ -168,7 +188,7 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
         "docs": docs,
         "tf": rd("tf"),
         "term_stats": rd("term_stats"),
-        "bm25_postings": rd("bm25_postings"),
+        "bm25_postings": bm25,
         "postings_compressed": rd("postings_compressed"),
         "doc_dim": doc_dim,
     }

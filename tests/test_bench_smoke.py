@@ -26,7 +26,7 @@ def test_bench_emits_valid_json_line():
     out = json.loads(lines[-1])
     assert out["unit"] == "sec" and out["value"] > 0
     q = out["queries"]
-    for key in ("scaling_efficiency", "scaling_efficiency_2x_corpus",
+    for key in ("scaling_efficiency", "scaling_efficiency_4_16",
                 "wand_query_p50_sec", "bm25_topk"):
         assert key in q, (key, sorted(q))
     assert 0 < q["scaling_efficiency"] <= 1.5  # sanity, not a perf gate
