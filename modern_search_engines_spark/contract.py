@@ -23,8 +23,10 @@ from .operators.topk import ranked_topk
 
 K1, B = 1.5, 0.75
 BM25_QUERY_TERMS = ("data", "query", "spark")
-STOPWORD_SAMPLE = ("the", "a", "and", "of", "in", "to", "is")
-DE_SAMPLE = ("der", "die", "das", "und", "ist", "mit", "von")
+from .operators.quality import (  # single source for the quality exprs
+    DE_STOPWORD_SAMPLE as DE_SAMPLE,
+    EN_STOPWORD_SAMPLE as STOPWORD_SAMPLE,
+)
 
 # ---------------------------------------------------------------------------
 # Spark-side helpers
@@ -220,28 +222,11 @@ def q_dedup_minhash_lsh(spark, sf):
     """MinHash+LSH candidate pairs: 8 md5-minhashes, 4 bands of 2;
     pairs sharing any band bucket (the scale path for near-dup —
     shuffle is by band bucket, never all-pairs)."""
-    sh = _shingles(spark, sf)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary")))
-        .alias(f"h{i}") for i in range(N_MINHASH)
-    ]
-    # signature table feeds both self-join sides — cache to run the
-    # shingle+minhash lineage once
-    sig = sh.groupBy("doc_id").agg(*aggs).cache()
-    bands = F.array(*[
-        F.concat_ws("|", F.lit(str(j)), F.col(f"h{2 * j}"),
-                    F.col(f"h{2 * j + 1}"))
-        for j in range(N_BANDS)
-    ])
-    bd = sig.select("doc_id", F.explode(bands).alias("band"))
-    a, b = bd.alias("a"), bd.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    from .operators import dedup
+    # signature table feeds both self-join sides inside the operator —
+    # cache the shingles so the tokenize/explode lineage runs once
+    return dedup.minhash_lsh_pairs(_shingles(spark, sf).cache(),
+                                   n_hashes=N_MINHASH, n_bands=N_BANDS)
 
 
 def q_embedding_cosine_topk(spark, sf):
@@ -420,21 +405,30 @@ def q_text_repetition(spark, sf):
     """Repetition quality score (LLM-data-pipeline gate): fraction of
     duplicated word-trigrams per doc — high values flag boilerplate /
     spam for corpus filtering. Pure JVM expressions."""
+    from .operators import quality
     d = _docs(spark, sf).select("doc_id", _tokens_col().alias("toks"))
-    arr = F.col("toks")
-    tg = F.when(
-        F.size(arr) >= 3,
-        F.transform(F.sequence(F.lit(1), F.size(arr) - 2),
-                    lambda i: F.concat_ws(" ", F.slice(arr, i, 3))),
-    ).otherwise(F.array().cast("array<string>"))
-    d = d.select("doc_id", tg.alias("tg"))
-    total = F.size("tg")
-    rep = F.when(
-        total > 0,
-        F.round(F.lit(1.0) - F.size(F.array_distinct("tg"))
-                .cast("double") / total, 6)).otherwise(F.lit(0.0))
-    return d.select("doc_id", total.cast("long").alias("n_trigrams"),
-                    rep.alias("rep_ratio"))
+    d = d.select("doc_id", quality.trigrams_expr(F.col("toks")).alias("tg"),
+                 quality.repetition_ratio_expr(F.col("toks"))
+                 .alias("rep_ratio"))
+    return d.select("doc_id", F.size("tg").cast("long").alias("n_trigrams"),
+                    "rep_ratio")
+
+
+CLEAN_PARAMS = dict(langs=("en",), min_tokens=30, max_rep_ratio=0.2,
+                    jaccard_threshold=0.2, n_minhash=N_MINHASH,
+                    n_bands=N_BANDS, max_shingle_df=MAX_SHINGLE_DF)
+
+
+def q_corpus_clean(spark, sf):
+    """The staged cleaning pipeline's classification pass (plans/clean):
+    per-doc status with fixed precedence — exact_dup (md5 group, keep
+    min id) → wrong_lang (stopword-vote heuristic) → too_short →
+    repetitive (duplicated-trigram ratio) → near_dup (MinHash-LSH
+    candidates verified by exact shingle jaccard ≥ 0.2, keep the lower
+    id) → kept. The SQL twin replays the whole pipeline."""
+    from .plans.clean import classify_docs
+    return (classify_docs(_docs(spark, sf), **CLEAN_PARAMS)
+            .select("doc_id", "status"))
 
 
 def q_dedup_minhash_estimate(spark, sf):
@@ -445,23 +439,8 @@ def q_dedup_minhash_estimate(spark, sf):
     Candidates come from the band join (never all-pairs)."""
     from .operators import dedup
     sh = _shingles(spark, sf).cache()  # feeds sig + exact-jaccard joins
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary")))
-        .alias(f"h{i}") for i in range(N_MINHASH)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs).cache()  # bands + both sides
-    bands = F.array(*[
-        F.concat_ws("|", F.lit(str(j)), F.col(f"h{2 * j}"),
-                    F.col(f"h{2 * j + 1}"))
-        for j in range(N_BANDS)
-    ])
-    bd = sig.select("doc_id", F.explode(bands).alias("band"))
-    a, b = bd.alias("a"), bd.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    sig = dedup.minhash_signatures(sh, N_MINHASH).cache()  # bands + sides
+    cand = dedup.lsh_band_pairs(sig, N_MINHASH, N_BANDS)
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"h{i}").alias(f"a{i}")
                       for i in range(N_MINHASH)])
@@ -537,34 +516,23 @@ def q_union_dedup_rank(spark, sf):
 
 def q_text_quality(spark, sf):
     """Quality scoring: token count, stopword ratio, mean token length."""
+    from .operators import quality
     d = _docs(spark, sf).select("doc_id", _tokens_col().alias("toks"))
     toks = F.col("toks")
-    sw = F.array(*[F.lit(s) for s in STOPWORD_SAMPLE])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    total_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)),
-        F.lit(0), lambda acc, v: acc + v)
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.round(n_sw.cast("double") / F.size(toks), 6)
-        .alias("stopword_ratio"),
-        F.round(total_len.cast("double") / F.size(toks), 6)
-        .alias("avg_token_len"))
+        quality.stopword_ratio_expr(toks).alias("stopword_ratio"),
+        quality.avg_token_len_expr(toks).alias("avg_token_len"))
 
 
 def q_lang_id_heuristic(spark, sf):
     """Language-ID heuristic: en vs de stopword hits."""
+    from .operators import quality
     d = _docs(spark, sf).select("doc_id", _tokens_col().alias("toks"))
-    toks = F.col("toks")
-    en = F.array(*[F.lit(s) for s in STOPWORD_SAMPLE])
-    de = F.array(*[F.lit(s) for s in DE_SAMPLE])
-    n_en = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
-    n_de = F.size(F.filter(toks, lambda t: F.array_contains(de, t)))
     return d.select(
         "doc_id",
-        F.when(n_en >= n_de, F.lit("en")).otherwise(F.lit("de"))
-        .alias("lang_guess"))
+        quality.lang_guess_expr(F.col("toks")).alias("lang_guess"))
 
 
 def q_token_count_regex(spark, sf):
@@ -1213,6 +1181,85 @@ SELECT doc_id, source, score FROM dedup WHERE rn = 1
 _sw_list = ", ".join(f"'{s}'" for s in STOPWORD_SAMPLE)
 _de_list = ", ".join(f"'{s}'" for s in DE_SAMPLE)
 
+# the cleaning pipeline's SQL replay: same CTE fragments as the
+# standalone twins (quality gates, minhash bands, shingle jaccard),
+# composed with the Spark plan's exact precedence. Thresholds inline =
+# CLEAN_PARAMS (langs en, min_tokens 30, rep 0.2, jaccard 0.2, df cap).
+_ORACLE["corpus_clean"] = f"""
+WITH base AS (
+    SELECT doc_id, md5(text) AS text_md5,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+tg AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                ELSE [] END AS g
+    FROM base
+),
+stats AS (
+    SELECT b.doc_id, b.text_md5, len(b.t) AS n_tokens,
+           CASE WHEN len(list_filter(b.t, x -> x IN ({_sw_list})))
+                     >= len(list_filter(b.t, x -> x IN ({_de_list})))
+                THEN 'en' ELSE 'de' END AS lang_guess,
+           CASE WHEN len(tg.g) > 0
+                THEN round(1.0 - len(list_distinct(tg.g)) * 1.0
+                           / len(tg.g), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM base b JOIN tg ON tg.doc_id = b.doc_id
+),
+gated AS (
+    SELECT s.doc_id,
+           CASE WHEN s.doc_id <> m.canon_id THEN 'exact_dup'
+                WHEN s.lang_guess NOT IN ('en') THEN 'wrong_lang'
+                WHEN s.n_tokens < 30 THEN 'too_short'
+                WHEN s.rep_ratio > 0.2 THEN 'repetitive'
+           END AS gate
+    FROM stats s
+    JOIN (SELECT text_md5, min(doc_id) AS canon_id
+          FROM stats GROUP BY 1) m USING (text_md5)
+),
+shs AS (
+    SELECT DISTINCT tg.doc_id, u.sh
+    FROM tg JOIN gated USING (doc_id), unnest(tg.g) AS u(sh)
+    WHERE gated.gate IS NULL
+),
+sh AS (
+    SELECT * FROM shs WHERE sh IN (SELECT sh FROM shs
+                                   GROUP BY sh
+                                   HAVING count(*) <= {MAX_SHINGLE_DF})
+),
+sig AS (SELECT doc_id, {_minhash_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_rows}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+    GROUP BY 1, 2
+),
+losers AS (
+    SELECT DISTINCT i.doc_b AS doc_id
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.2
+)
+SELECT g.doc_id,
+       coalesce(g.gate,
+                CASE WHEN l.doc_id IS NOT NULL THEN 'near_dup' END,
+                'kept') AS status
+FROM gated g LEFT JOIN losers l USING (doc_id)
+"""
+
 _ORACLE["text_quality"] = f"""
 WITH t AS (
     SELECT doc_id,
@@ -1386,6 +1433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_dedup_rank": q_union_dedup_rank,
     "text_repetition": q_text_repetition,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "corpus_clean": q_corpus_clean,
     "embedding_class_stats": q_embedding_class_stats,
     "events_json_extract": q_events_json_extract,
     "text_quality": q_text_quality,

@@ -123,6 +123,52 @@ def jaccard_near_dups(shingles: DataFrame, threshold: float | None = 0.2,
     return out
 
 
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — md5 minhash signature per doc over its
+    distinct-shingle set (hash family = md5 of an index-salted shingle;
+    min per doc). One groupBy — the signature build is a single shuffle
+    however many hash functions are used."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary")))
+        .alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_pairs(sig: DataFrame, n_hashes: int = 8,
+                   n_bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b) — docs whose minhash signatures share any band
+    bucket (bands of ``n_hashes // n_bands`` rows). The near-dup scale
+    path: the only shuffle is by band bucket — never all-pairs.
+    Probability a pair at jaccard s collides ≈ 1-(1-s^r)^b. Pass a
+    ``.cache()``d sig when the caller reuses it (both join sides read
+    the banded projection)."""
+    rows = n_hashes // n_bands
+    assert rows * n_bands == n_hashes, "n_bands must divide n_hashes"
+    bands = F.array(*[
+        F.concat_ws("|", F.lit(str(j)),
+                    *[F.col(f"h{rows * j + r}") for r in range(rows)])
+        for j in range(n_bands)
+    ])
+    bd = sig.select("doc_id", F.explode(bands).alias("band"))
+    a, b = bd.alias("a"), bd.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(shingles: DataFrame, n_hashes: int = 8,
+                      n_bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b) — MinHash+LSH candidate pairs straight from a
+    (doc_id, sh) shingle table: signature build + band join."""
+    return lsh_band_pairs(minhash_signatures(shingles, n_hashes),
+                          n_hashes, n_bands)
+
+
 def exact_dups(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """(text_md5, n_docs, doc_ids) — exact-duplicate clusters."""

@@ -1,0 +1,161 @@
+"""Staged corpus-cleaning pipeline — the training-data-pipeline
+integration of the dedup + text-analysis operator families (round
+brief: "the operations a large-scale training-data pipeline would
+need", composed end-to-end).
+
+documents → doc_stats → doc_status → clean, each an atomic
+StageWriter commit (same resume/lineage machinery as the index build),
+so a killed cleaning run resumes from the last complete stage.
+
+Per-doc status, by fixed precedence (first matching reason wins):
+
+  exact_dup   text_md5 seen on a lower doc_id (md5 groupBy — one
+              shuffle; the canonical survivor is the group's min id)
+  wrong_lang  lang_guess (stopword-vote heuristic) not in ``langs``
+  too_short   n_tokens < min_tokens
+  repetitive  rep_ratio (duplicated-trigram fraction) > max_rep_ratio
+  near_dup    verified-jaccard ≥ threshold against a LOWER-id survivor
+              (candidates from MinHash+LSH band buckets — shuffle by
+              band, never all-pairs; exact shingle-jaccard verify on
+              candidates only)
+  kept        everything else
+
+near_dup keeps each pair's lowest doc_id (greedy keep-first). That is
+exact for duplicate CLIQUES (the common case: one source text, many
+near-copies); for chains a-b-c where a~b, b~c but a≁c it drops c even
+though its only sub-threshold neighbor b was itself dropped —
+connected-components transitivity (an iterative algorithm, not a
+single SQL pass) can be layered on the verified-pairs table when that
+distinction matters.
+
+Scale shape: every step is a hash shuffle keyed by md5 / band / pair —
+no global sort, no window over the corpus, no driver-side state. The
+verified-pairs join explodes candidate pairs by their shingles; the
+LSH prefilter bounds candidates, and ``max_shingle_df`` (passed to the
+shingle table) guards hot shingles the same way jaccard_near_dups does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup, quality
+from ..sources.tables import StageWriter
+
+STATUSES = ("kept", "exact_dup", "wrong_lang", "too_short",
+            "repetitive", "near_dup")
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """(doc_id, sh) distinct word-trigram shingles (df-capped)."""
+    toks = quality.tokens_expr(text_col)
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(
+                      quality.trigrams_expr(F.col("toks")))).alias("sh"))
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > max_shingle_df).select("sh"))
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    return sh
+
+
+def verified_near_dup_pairs(docs: DataFrame,
+                            jaccard_threshold: float = 0.6,
+                            n_minhash: int = 8, n_bands: int = 4,
+                            max_shingle_df: int | None = None,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH candidates verified by exact
+    shingle jaccard ≥ threshold. doc_a < doc_b always."""
+    sh = shingle_table(docs, text_col, id_col, max_shingle_df).cache()
+    cand = dedup.minhash_lsh_pairs(sh, n_minhash, n_bands)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n", "nb"), "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.col("inter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("inter")))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= jaccard_threshold))
+
+
+def classify_docs(docs: DataFrame, langs=("en",), min_tokens: int = 5,
+                  max_rep_ratio: float = 0.5,
+                  jaccard_threshold: float = 0.6,
+                  n_minhash: int = 8, n_bands: int = 4,
+                  max_shingle_df: int | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  stats: DataFrame | None = None) -> DataFrame:
+    """(doc_id, status, n_tokens, lang_guess, rep_ratio) — the whole
+    classification as one composable plan (no materialization; the
+    staged pipeline below commits it). Pass ``stats`` to reuse an
+    already-materialized doc_quality table instead of recomputing it."""
+    if stats is None:
+        stats = quality.doc_quality(docs, text_col, id_col)
+    canon = stats.groupBy("text_md5").agg(
+        F.min(id_col).alias("canon_id"))
+    flagged = stats.join(canon, "text_md5").select(
+        id_col, "n_tokens", "lang_guess", "rep_ratio",
+        F.when(F.col(id_col) != F.col("canon_id"), F.lit("exact_dup"))
+        .when(~F.col("lang_guess").isin(*langs), F.lit("wrong_lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("rep_ratio") > max_rep_ratio, F.lit("repetitive"))
+        .alias("gate"))
+    survivors = flagged.where(F.col("gate").isNull()).select(id_col)
+    pairs = verified_near_dup_pairs(
+        docs.join(survivors, id_col), jaccard_threshold,
+        n_minhash, n_bands, max_shingle_df, text_col, id_col)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct() \
+        .withColumn("near_dup", F.lit(True))
+    return (flagged.join(losers, id_col, "left")
+            .select(id_col,
+                    F.coalesce(
+                        F.col("gate"),
+                        F.when(F.col("near_dup"), F.lit("near_dup")),
+                        F.lit("kept")).alias("status"),
+                    "n_tokens", "lang_guess", "rep_ratio"))
+
+
+def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
+                 langs=("en",), min_tokens: int = 5,
+                 max_rep_ratio: float = 0.5,
+                 jaccard_threshold: float = 0.6,
+                 n_minhash: int = 8, n_bands: int = 4,
+                 max_shingle_df: int | None = None,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 verbose: bool = True) -> dict:
+    """Run (or resume) the staged cleaning pipeline; returns stage
+    handles + a per-status count summary."""
+    params = {"langs": list(langs), "min_tokens": min_tokens,
+              "max_rep_ratio": max_rep_ratio,
+              "jaccard_threshold": jaccard_threshold,
+              "n_minhash": n_minhash, "n_bands": n_bands,
+              "max_shingle_df": max_shingle_df}
+    sw = StageWriter(spark, out_dir, verbose=verbose)
+    stats = sw.write_stage(quality.doc_quality(docs, text_col, id_col),
+                           "doc_stats")
+    status = sw.write_stage(
+        classify_docs(docs, langs, min_tokens, max_rep_ratio,
+                      jaccard_threshold, n_minhash, n_bands,
+                      max_shingle_df, text_col, id_col, stats=stats),
+        "doc_status", inputs=("doc_stats",), params=params)
+    clean = sw.write_stage(
+        docs.join(status.where(F.col("status") == "kept")
+                  .select(id_col), id_col),
+        "clean", inputs=("doc_status",), params=params)
+    summary = {r["status"]: r["n"] for r in
+               status.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    return {"doc_stats": stats, "doc_status": status, "clean": clean,
+            "summary": summary, "writer": sw}

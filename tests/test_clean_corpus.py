@@ -1,0 +1,116 @@
+"""Corpus-cleaning pipeline semantics (plans/clean.py): status
+precedence on planted duplicates/junk, greedy near-dup survivor rule,
+staged resume, and the spark-submit job's JSON contract."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import Row
+
+from modern_search_engines_spark.plans.clean import (
+    classify_docs, clean_corpus, verified_near_dup_pairs,
+)
+
+BASE = ("the castle and the museum of the old town in the river valley "
+        "is a place to see and to visit in every season of the year")
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),                       # kept (canonical)
+        Row(doc_id=2, text=BASE),                       # exact_dup of 1
+        Row(doc_id=3, text=BASE + " with a new tower"),  # near_dup of 1
+        Row(doc_id=4, text="der die das und ist mit von der die das und "
+                           "ist mit von " + "wort " * 30),  # wrong_lang
+        Row(doc_id=5, text="tiny the doc"),             # too_short
+        Row(doc_id=6, text="the spam and the spam " * 20),  # repetitive
+        Row(doc_id=7, text="a completely different story about the sea "
+                           "and the ships that is long enough to pass "
+                           "every the quality gate with room to spare "
+                           "because it keeps the going on and on in the "
+                           "calm water of the wide open bay"),  # kept
+    ]
+    return spark.createDataFrame(rows)
+
+
+PARAMS = dict(langs=("en",), min_tokens=10, max_rep_ratio=0.3,
+              jaccard_threshold=0.5, n_minhash=8, n_bands=4)
+
+
+def test_status_precedence(spark):
+    st = {r["doc_id"]: r["status"]
+          for r in classify_docs(_docs(spark), **PARAMS).collect()}
+    assert st == {1: "kept", 2: "exact_dup", 3: "near_dup",
+                  4: "wrong_lang", 5: "too_short", 6: "repetitive",
+                  7: "kept"}
+
+
+def test_near_dup_keeps_lowest_id(spark):
+    pairs = verified_near_dup_pairs(
+        _docs(spark).where("doc_id in (1, 3)"), jaccard_threshold=0.5)
+    rows = pairs.collect()
+    assert len(rows) == 1
+    assert (rows[0]["doc_a"], rows[0]["doc_b"]) == (1, 3)
+    assert 0.5 <= rows[0]["jaccard"] <= 1.0
+
+
+def test_exact_dup_not_counted_as_near_dup(spark):
+    # doc 2 is an exact dup — it must be dropped by the md5 gate and
+    # excluded from the near-dup join (only survivors are paired)
+    st = classify_docs(_docs(spark), **PARAMS)
+    assert st.where("doc_id = 2").collect()[0]["status"] == "exact_dup"
+
+
+def test_staged_clean_and_resume(spark, tmp_path):
+    out = str(tmp_path / "clean")
+    res = clean_corpus(spark, _docs(spark), out, verbose=False, **PARAMS)
+    assert res["summary"] == {"kept": 2, "exact_dup": 1, "near_dup": 1,
+                              "wrong_lang": 1, "too_short": 1,
+                              "repetitive": 1}
+    kept = {r["doc_id"] for r in res["clean"].collect()}
+    assert kept == {1, 7}
+    for stage in ("doc_stats", "doc_status", "clean"):
+        assert os.path.exists(os.path.join(out, stage, "_MANIFEST.json"))
+    # resume: a second run must skip every complete stage
+    res2 = clean_corpus(spark, _docs(spark), out, verbose=False, **PARAMS)
+    assert res2["summary"] == res["summary"]
+    # param change forces a rebuild of the status stage
+    res3 = clean_corpus(spark, _docs(spark), out, verbose=False,
+                        langs=("en",), min_tokens=1000,
+                        max_rep_ratio=0.3, jaccard_threshold=0.5)
+    assert res3["summary"].get("kept") is None  # everything too_short
+
+
+def test_hot_shingle_cap_bounds_candidates(spark):
+    # a universal shingle must not explode the candidate join when capped
+    rows = [Row(doc_id=i,
+                text="the common shared boilerplate line " +
+                     f"unique {i} words of body content here {i}")
+            for i in range(1, 21)]
+    docs = spark.createDataFrame(rows)
+    capped = verified_near_dup_pairs(docs, jaccard_threshold=0.0,
+                                     max_shingle_df=3)
+    assert capped.count() <= 20  # without the cap: ~190 all-pairs
+
+
+@pytest.mark.slow
+def test_clean_job_cli(spark, tmp_path):
+    docs_path = str(tmp_path / "docs")
+    _docs(spark).write.parquet(docs_path)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "jobs/clean_corpus.py", "--docs", docs_path,
+         "--out", out, "--min-tokens", "10", "--max-rep-ratio", "0.3",
+         "--jaccard-threshold", "0.5"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4", "PYTHONPATH": repo})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out_json = json.loads(line)
+    assert out_json["summary"]["kept"] == 2
+    assert {m["name"] for m in out_json["stages"]} == {
+        "doc_stats", "doc_status", "clean"}
