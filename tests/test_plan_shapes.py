@@ -91,3 +91,26 @@ def test_doc_colocated_joins_one_exchange(spark, tmp_path):
     plan = _plan(bm25)
     # sanity: it's a join plan that does not cartesian
     assert "CartesianProduct" not in plan
+
+
+def test_clean_pipeline_plan_shapes(spark):
+    """Cleaning pipeline (plans/clean.py): the hot-shingle guard must be
+    a BROADCAST anti-join (the hot list is tiny by definition), and the
+    classification must contain no cartesian product anywhere."""
+    from pyspark.sql import Row
+
+    from modern_search_engines_spark.plans.clean import (
+        classify_docs, shingle_table)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the doc {i} with some shared words "
+                            f"and the body {i}") for i in range(12)])
+    sh = shingle_table(docs, max_shingle_df=3)
+    sh_plan = _plan(sh)
+    assert "BroadcastExchange" in sh_plan, sh_plan
+    assert "CartesianProduct" not in sh_plan
+
+    status = classify_docs(docs, min_tokens=2, jaccard_threshold=0.5,
+                           max_shingle_df=3)
+    plan = _plan(status)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
