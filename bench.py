@@ -277,6 +277,10 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).collect()
             queries[name] = round(time.time() - t0, 4)
+            # several contract queries .cache() their shared subtrees
+            # (tf, shingles); drop them between queries so one session
+            # running all ten doesn't accumulate dead cached partitions
+            spark.catalog.clearCache()
         spark.stop()
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -26,9 +26,12 @@ from pyspark.sql import DataFrame, functions as F
 #   16 (default) → 8 bands, 2^16 buckets/band, guarantees distance < 8
 #   32           → 4 bands, 2^32 buckets/band, guarantees distance < 4
 # At 10^12 docs the 16-bit banding leaves ~10^7 docs per bucket and the
-# within-bucket pairing goes quadratic — use band_bits=32 (the reference
-# only needs hamming < 5 anyway, Crawler.py:209-213), which multiplies
-# the bucket space by 65536×.
+# within-bucket pairing goes quadratic. band_bits=32 multiplies the
+# bucket space by 65536× but its 4 bands only support max_distance ≤ 4
+# (the assert below enforces this) — NOT the reference's hamming < 5
+# (Crawler.py:209-213, max_distance=5, needs ≥ 5 bands). For that
+# threshold at extreme scale, keep 16-bit bands and split hot buckets
+# with a secondary prefix key, or accept the ≤ 4 guarantee.
 
 
 def _bands(col: str, prefix: str, band_bits: int):

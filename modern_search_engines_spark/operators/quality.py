@@ -39,13 +39,20 @@ def stopword_ratio_expr(toks: Column,
                         stopwords=EN_STOPWORD_SAMPLE) -> Column:
     sw = F.array(*[F.lit(s) for s in stopwords])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.round(n_sw.cast("double") / F.size(toks), 6)
+    # zero-token docs → 0.0, not DIVIDE_BY_ZERO (ANSI mode is on in
+    # Spark 4; the cleaning pipeline must survive exactly the empty docs
+    # it exists to filter out)
+    return F.when(F.size(toks) > 0,
+                  F.round(n_sw.cast("double") / F.size(toks), 6)
+                  ).otherwise(F.lit(0.0))
 
 
 def avg_token_len_expr(toks: Column) -> Column:
     total_len = F.aggregate(F.transform(toks, lambda t: F.length(t)),
                             F.lit(0), lambda acc, v: acc + v)
-    return F.round(total_len.cast("double") / F.size(toks), 6)
+    return F.when(F.size(toks) > 0,
+                  F.round(total_len.cast("double") / F.size(toks), 6)
+                  ).otherwise(F.lit(0.0))
 
 
 def repetition_ratio_expr(toks: Column) -> Column:

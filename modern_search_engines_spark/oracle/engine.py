@@ -118,22 +118,29 @@ class OracleEngine:
         self._averages(docs)
         self.total_documents = len(docs)
         if use_doc2query:
-            self._doc2query(docs)
+            docs = self._doc2query(docs)
         for d in docs:
             self._add(d)
         self._idf_tfidf()
         self._bm25()
 
-    def _doc2query(self, docs: list[OracleDoc]) -> None:
+    def _doc2query(self, docs: list[OracleDoc]) -> list[OracleDoc]:
         """doc_2_query_minus (Doc2Query.py:11-21): generated queries are
         tokenized with the build's n-gram setting and appended to
-        ``single_tokens`` in place (mutating, like the reference);
-        ``_add``'s re-tokenization then folds them into tf/df."""
+        ``single_tokens``; ``_add``'s re-tokenization then folds them
+        into tf/df. Returns expanded COPIES (the reference mutates its
+        docs in place, but mutating the caller's objects would
+        double-apply expansions if the same docs are built twice)."""
+        import dataclasses
+
         from ..operators import mlhooks
+        out = []
         for d in docs:
             querygen = "\n".join(mlhooks._query_generator(d.text or ""))
-            d.single_tokens.extend(
-                textlib.tokenize(querygen, self.ngram_max))
+            out.append(dataclasses.replace(
+                d, single_tokens=d.single_tokens
+                + textlib.tokenize(querygen, self.ngram_max)))
+        return out
 
     def _averages(self, docs: list[OracleDoc]) -> None:
         # unigram avgdl + mean date over dated docs (DocumentIndex.py:95-110)

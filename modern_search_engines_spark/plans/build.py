@@ -85,10 +85,15 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         stats_path = os.path.join(out_dir, STATS_FILE)
         if os.path.exists(stats_path):
             with open(stats_path) as f:
-                return json.load(f)
-        s = indexing.corpus_stats(indexed_raw)
-        with open(stats_path, "w") as f:
-            json.dump(s, f)
+                s = json.load(f)
+        else:
+            s = indexing.corpus_stats(indexed_raw)
+        # record n_buckets so load_index can rebuild the flat bm25 plan
+        # for fused indexes with the bucket key the compressed table uses
+        if s.get("n_buckets") != n_buckets:
+            s["n_buckets"] = n_buckets
+            with open(stats_path, "w") as f:
+                json.dump(s, f)
         return s
 
     # Independent stages share the cluster concurrently (Spark's driver
@@ -137,6 +142,10 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
                                   inputs=("tf",), sort_within=["term"])
             compressed_input, compressed_lineage = bm25, ("bm25_postings",)
         else:
+            # a stale flat table from a prior materialized build must not
+            # survive a fused rebuild — load_index would silently serve
+            # the old corpus to the naive-bm25 path
+            sw.drop_stage("bm25_postings")
             bm25 = bm25_plan  # queryable plan, never round-tripped
             compressed_input, compressed_lineage = bm25_plan, ("tf",)
         compressed = sw.write_stage(
@@ -174,11 +183,21 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
 
     rd = lambda n: spark.read.parquet(os.path.join(out_dir, n))  # noqa: E731
     docs = rd("docs")
-    # fused builds (materialize_bm25=False) never wrote the flat table;
-    # the query/WAND path needs only postings_compressed
-    bm25 = (rd("bm25_postings")
-            if os.path.exists(os.path.join(out_dir, "bm25_postings"))
-            else None)
+    tf = rd("tf")
+    if os.path.exists(os.path.join(out_dir, "bm25_postings")):
+        bm25 = rd("bm25_postings")
+    else:
+        # fused builds (materialize_bm25=False) never wrote the flat
+        # table; rebuild the SAME lazy scoring plan the compressed stage
+        # consumed so run_batch(method='bm25') works on a fused index —
+        # identical partials (the fused stage fed this exact plan), just
+        # computed from tf at query time instead of read from parquet
+        indexed_raw = indexing.filter_index_docs(rd("extracted"))
+        bm25 = indexing.build_bm25_postings(
+            tf, indexing.build_term_stats(tf, stats["N"]),
+            indexing.build_doc_len(tf),
+            indexing.build_doc_fields(indexed_raw, stats["avg_date_ts"]),
+            stats["avgdl"], stats.get("n_buckets", 64))
     # back-compat: older indexes materialized doc_dim as its own table
     dim_path = os.path.join(out_dir, "doc_dim")
     doc_dim = (rd("doc_dim") if os.path.exists(dim_path)
@@ -186,7 +205,7 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
     return {
         "stats": stats,
         "docs": docs,
-        "tf": rd("tf"),
+        "tf": tf,
         "term_stats": rd("term_stats"),
         "bm25_postings": bm25,
         "postings_compressed": rd("postings_compressed"),

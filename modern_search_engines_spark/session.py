@@ -1,7 +1,9 @@
 """SparkSession factory with the engine's standard configuration.
 
-Tuned for correctness-reproducibility first (UTC session timezone, ANSI
-off to match reference float semantics) and for scale second (AQE with
+Tuned for correctness-reproducibility first (UTC session timezone; ANSI
+mode stays at the Spark 4 default of ON — expressions that can divide by
+zero or cast loosely are guarded at the expression level instead, see
+``operators/quality.py``) and for scale second (AQE with
 skew-join handling, Arrow batches for the pandas UDFs). On a real cluster
 the same builder is used by ``spark-submit --py-files``; only
 ``master``/executor sizing differ.

@@ -83,6 +83,18 @@ class StageWriter:
                 return json.load(f)
         return None
 
+    def drop_stage(self, name: str) -> None:
+        """Remove a stage's data + manifest (and any stale tmp dir).
+        Used when a build variant makes an existing stage obsolete —
+        e.g. a fused rebuild must not leave a prior flat bm25_postings
+        table for load_index to serve against the new corpus."""
+        final, tmp, _ = self._paths(name)
+        for p in (final, tmp):
+            if os.path.exists(p):
+                if self.verbose:
+                    print(f"[stage {name}] dropping obsolete stage dir {p}")
+                shutil.rmtree(p)
+
     def is_complete(self, name: str, lineage: dict | None = None,
                     expected_schema: str | None = None,
                     params: dict | None = None,

@@ -1,7 +1,8 @@
 """materialize_bm25=False fuses the flat-postings stage into the
 compressed one (plans/build.py): the compressed index must be IDENTICAL
 to an unfused build's, the flat table must not exist on disk, and
-load_index must surface its absence as None rather than failing."""
+load_index must rebuild the SAME lazy scoring plan from tf so the
+naive-bm25 query path works on a fused index."""
 
 import os
 
@@ -44,9 +45,16 @@ def test_fused_build_skips_flat_table(built):
         os.path.join(built["fused"], "bm25_postings"))
 
 
-def test_load_index_tolerates_missing_flat_table(spark, built):
+def test_load_index_rebuilds_lazy_bm25_plan(spark, built):
     idx = load_index(spark, built["fused"])
-    assert idx["bm25_postings"] is None
+    # fused indexes get the flat partials as a lazy plan recomputed from
+    # tf — bit-identical to the unfused build's materialized table (the
+    # fused compressed stage consumed this exact plan; every scalar in
+    # it is deterministic, no order-dependent float aggregation)
+    flat = load_index(spark, built["unfused"])["bm25_postings"]
+    lazy = idx["bm25_postings"].select(*flat.columns)
+    assert flat.exceptAll(lazy).count() == 0
+    assert lazy.exceptAll(flat).count() == 0
     assert idx["postings_compressed"].count() > 0
     # fused resume: a re-run must skip every committed stage
     pages = corpus.pages_df(spark, 400, seed=42, num_partitions=8)
