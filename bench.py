@@ -10,8 +10,8 @@ Measures, per BASELINE.md protocol:
      memory bus); secondary: 2->8 and 4->16 document the knee, whose
      falling raw ratios track the sandbox's own falling multiprocessing
      ceiling (measured and reported alongside). Corpus warmed untimed,
-     strictly alternating run order + min-of-2 per level (this box has
-     multi-minute slow phases and gVisor cold-I/O spikes);
+     strictly alternating run order + min-of-3 per headline level (this
+     box has multi-minute slow phases and gVisor cold-I/O spikes);
   2. per-query BM25 latency (block-max WAND over compressed postings,
      bucket-pruned scan) → p50/p95 over the reference-style query set;
   3. the driver-contract queries at $SPARK_GRAFT_SF_DIR.
@@ -153,7 +153,7 @@ def main() -> None:
         # Protocol: corpus warmed untimed (first read of a fresh parquet
         # dir pays a ~2x cold-I/O penalty on gVisor — measured 99s vs
         # 51s for the same build), then STRICTLY ALTERNATING lo,hi,lo,hi
-        # with min-of-2 per level: this box has multi-minute slow phases
+        # with min-of-3 per level: this box has multi-minute slow phases
         # (co-tenant load; identical builds measured 28.6s and 42.1s an
         # hour apart), and alternation prevents one phase from eating
         # both runs of one level. Fresh build dir per run (a reused dir
@@ -183,10 +183,17 @@ def main() -> None:
             return build_at(par, path,
                             os.path.join(work, f"idx{tag}"), repeats=1)
 
+        # min-of-3, still strictly alternating: with min-of-2 a single
+        # multi-minute slow phase can still eat one run of each level
+        # (measured: the same build code read 0.81 and 0.73 efficiency
+        # in runs an hour apart); a third sample per level makes the
+        # min a much tighter estimator of the machine's true floor
         t_lo = run1(lo, head_path, "h_lo_a")
         t_hi = run1(hi, head_path, "h_hi_a")
         t_lo = min(t_lo, run1(lo, head_path, "h_lo_b"))
         t_hi = min(t_hi, run1(hi, head_path, "h_hi_b"))
+        t_lo = min(t_lo, run1(lo, head_path, "h_lo_c"))
+        t_hi = min(t_hi, run1(hi, head_path, "h_hi_c"))
         th_lo, th_hi = n_head / t_lo, n_head / t_hi
         eff = (th_hi / th_lo) / (hi / lo)
         ceiling = machine_ceiling(lo, hi)
@@ -198,7 +205,8 @@ def main() -> None:
         queries["machine_parallel_ceiling"] = round(ceiling, 3)
         queries["scaling_efficiency_vs_ceiling"] = round(
             min(eff / ceiling, 1.0), 3) if ceiling > 0 else 0.0
-        for tag in ("h_lo_a", "h_hi_a", "h_hi_b", "h_lo_b"):
+        for tag in ("h_lo_a", "h_hi_a", "h_hi_b", "h_lo_b",
+                    "h_lo_c", "h_hi_c"):
             shutil.rmtree(os.path.join(work, f"idx{tag}"),
                           ignore_errors=True)
         if head_path != pages_path:

@@ -214,6 +214,29 @@ def q_dedup_ngram_jaccard(spark, sf):
             .where(F.col("jaccard") >= 0.2))
 
 
+def q_dedup_components(spark, sf):
+    """Transitive near-dup clusters: connected components over the
+    verified jaccard-pair graph (large-star/small-star label
+    propagation — ``operators/dedup.connected_components``). Every doc
+    gets a component id = the smallest doc_id reachable through
+    jaccard ≥ 0.2 near-dup links (chains a~b~c collapse even when a≁c);
+    docs with no near-dup edge are their own singleton component.
+
+    The iterative Spark algorithm is twinned by a DuckDB RECURSIVE CTE
+    computing min-reachable-node per doc over the same pair graph."""
+    from .operators import dedup
+    pairs = (dedup.jaccard_near_dups(_shingles(spark, sf).cache(),
+                                     threshold=None,
+                                     max_shingle_df=MAX_SHINGLE_DF)
+             .where(F.round("jaccard", 6) >= 0.2)
+             .select("doc_a", "doc_b"))
+    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+    docs = _docs(spark, sf).select("doc_id")
+    return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"))
+
+
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
 
@@ -774,6 +797,40 @@ SELECT doc_a, doc_b,
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.2
+"""
+
+# Transitive components twin: same pair graph as dedup_ngram_jaccard,
+# then min-reachable-node per doc via a RECURSIVE CTE (the union-dedup
+# fixpoint terminates because reach is bounded by nodes × components).
+_ORACLE["dedup_components"] = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+cold AS (
+    SELECT doc_id, sh FROM sh
+    WHERE sh IN (SELECT sh FROM sh GROUP BY sh
+                 HAVING count(*) <= {MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.2
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(n, m) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e.v, r.m FROM reach r JOIN edges e ON e.u = r.n
+),
+comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 _minhash_cols = ", ".join(
@@ -1419,6 +1476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,

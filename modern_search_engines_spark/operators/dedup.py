@@ -8,6 +8,9 @@
 * minhash LSH      shingle → md5-minhash → banded bucket join
 * ngram jaccard    shared-shingle candidate pairs + exact jaccard verify
 * embedding cosine near-dup via sign-bit LSH buckets + cosine verify
+* connected components  transitive closure over verified pair tables
+                   (large-star/small-star — near-dup chains collapse to
+                   one canonical survivor per component)
 
 Each returns candidate/confirmed pairs as DataFrames; the contract
 (contract.py) exposes the documents-table variants with DuckDB twins.
@@ -181,6 +184,72 @@ def exact_dups(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
             .where(F.col("n_docs") > 1))
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node that appears in ``edges``;
+    ``component`` is the smallest node id in the node's connected
+    component (so exact duplicates of transitivity chains a~b~c collapse
+    to one canonical survivor even when a≁c directly).
+
+    Alternating large-star / small-star label propagation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+    each round is two groupBy-join passes over the current edge set —
+    hash shuffles keyed by node, no global sort, no driver-side graph —
+    and the edge set contracts toward a star per component in
+    O(log² n) rounds. Works for any orderable id type (string md5 ids
+    order lexicographically).
+
+    Per-round ``localCheckpoint`` truncates the iterative plan lineage
+    (the canonical Spark iterative-algorithm hazard: without it every
+    round's plan embeds all prior rounds and analysis time explodes);
+    on a cluster with executor loss concerns use reliable
+    ``checkpoint`` instead. Convergence is detected by a count +
+    order-insensitive hash-sum checksum of the canonical (big→small)
+    edge set — one tiny aggregation job per round.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    prev_chk = None
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        e = (sym.where(F.col("v") > F.col("u")).join(mins, "u")
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct())
+        # small-star: direct edges big→small; every smaller neighbor and
+        # u itself link to m = min(N⁻(u))
+        d = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (d.join(mins, "u")
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .union(mins.select(F.col("u"), F.col("m").alias("v")))
+             .distinct()
+             .localCheckpoint(eager=True))
+        chk = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a bigint sum of 64-bit hashes
+            # overflows (ANSI would raise ARITHMETIC_OVERFLOW)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+            .alias("h")).collect()[0]
+        chk = (chk["n"], chk["h"])
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+    # converged: every edge is (node → component min); roots appear only
+    # on the v side and map to themselves
+    roots = e.select(F.col("v").alias("u"),
+                     F.col("v").alias("component")).distinct()
+    return (e.select("u", F.col("v").alias("component")).union(roots)
+            .distinct()
+            .select(F.col("u").alias("node"), "component"))
 
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,

@@ -20,13 +20,15 @@ Per-doc status, by fixed precedence (first matching reason wins):
               candidates only)
   kept        everything else
 
-near_dup keeps each pair's lowest doc_id (greedy keep-first). That is
-exact for duplicate CLIQUES (the common case: one source text, many
-near-copies); for chains a-b-c where a~b, b~c but a≁c it drops c even
-though its only sub-threshold neighbor b was itself dropped —
-connected-components transitivity (an iterative algorithm, not a
-single SQL pass) can be layered on the verified-pairs table when that
-distinction matters.
+near_dup has two modes. Default (``transitive=False``): keep each
+pair's lowest doc_id (greedy keep-first) — exact for duplicate CLIQUES
+(the common case: one source text, many near-copies), but for chains
+a-b-c where a~b, b~c, a≁c it drops both b and c even though c's only
+near neighbor b was itself dropped. ``transitive=True`` runs
+distributed connected components (``dedup.connected_components``,
+large-star/small-star) over the verified pairs and keeps exactly one
+survivor — the min doc_id — per component, which is the standard
+corpus-dedup semantics (MinHash cluster dedup à la C4/RefinedWeb).
 
 Scale shape: every step is a hash shuffle keyed by md5 / band / pair —
 no global sort, no window over the corpus, no driver-side state. The
@@ -96,7 +98,8 @@ def classify_docs(docs: DataFrame, langs=("en",), min_tokens: int = 5,
                   n_minhash: int = 8, n_bands: int = 4,
                   max_shingle_df: int | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
-                  stats: DataFrame | None = None) -> DataFrame:
+                  stats: DataFrame | None = None,
+                  transitive: bool = False) -> DataFrame:
     """(doc_id, status, n_tokens, lang_guess, rep_ratio) — the whole
     classification as one composable plan (no materialization; the
     staged pipeline below commits it). Pass ``stats`` to reuse an
@@ -116,8 +119,14 @@ def classify_docs(docs: DataFrame, langs=("en",), min_tokens: int = 5,
     pairs = verified_near_dup_pairs(
         docs.join(survivors, id_col), jaccard_threshold,
         n_minhash, n_bands, max_shingle_df, text_col, id_col)
-    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct() \
-        .withColumn("near_dup", F.lit(True))
+    if transitive:
+        comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+        losers = (comp.where(F.col("node") != F.col("component"))
+                  .select(F.col("node").alias(id_col))
+                  .withColumn("near_dup", F.lit(True)))
+    else:
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct() \
+            .withColumn("near_dup", F.lit(True))
     return (flagged.join(losers, id_col, "left")
             .select(id_col,
                     F.coalesce(
@@ -134,6 +143,7 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                  n_minhash: int = 8, n_bands: int = 4,
                  max_shingle_df: int | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
+                 transitive: bool = False,
                  verbose: bool = True) -> dict:
     """Run (or resume) the staged cleaning pipeline; returns stage
     handles + a per-status count summary."""
@@ -141,14 +151,16 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
               "max_rep_ratio": max_rep_ratio,
               "jaccard_threshold": jaccard_threshold,
               "n_minhash": n_minhash, "n_bands": n_bands,
-              "max_shingle_df": max_shingle_df}
+              "max_shingle_df": max_shingle_df,
+              "transitive": transitive}
     sw = StageWriter(spark, out_dir, verbose=verbose)
     stats = sw.write_stage(quality.doc_quality(docs, text_col, id_col),
                            "doc_stats")
     status = sw.write_stage(
         classify_docs(docs, langs, min_tokens, max_rep_ratio,
                       jaccard_threshold, n_minhash, n_bands,
-                      max_shingle_df, text_col, id_col, stats=stats),
+                      max_shingle_df, text_col, id_col, stats=stats,
+                      transitive=transitive),
         "doc_status", inputs=("doc_stats",), params=params)
     clean = sw.write_stage(
         docs.join(status.where(F.col("status") == "kept")
