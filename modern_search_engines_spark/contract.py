@@ -237,6 +237,36 @@ def q_dedup_components(spark, sf):
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"))
 
 
+PR_ITERS = 10
+PR_DAMPING = 0.85
+# deterministic synthetic link graph over the documents table: each doc
+# links to 3 arithmetically-derived targets. The generator is part of
+# the query, shared verbatim (same constants, same %) by both engines —
+# the point under test is the distributed power iteration, not the graph
+PR_EDGE_A, PR_EDGE_B = 48271, 16807
+
+
+def q_link_pagerank(spark, sf):
+    """Link-graph analytics: 10 fixed PageRank power-iteration rounds
+    (d=0.85) over a deterministic per-doc 3-out-edge graph
+    (``operators/linkgraph.pagerank`` — one shuffle per round, rank
+    vector never collected). The DuckDB twin unrolls the identical
+    recurrence as 10 chained CTEs."""
+    from .operators import linkgraph
+    docs = _docs(spark, sf).select("doc_id")
+    n = docs.count()
+    edges = (docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k"))
+        .select("src",
+                ((F.col("src") * F.lit(PR_EDGE_A)
+                  + F.col("k") * F.lit(PR_EDGE_B)) % F.lit(n)).alias("dst"))
+        .distinct())
+    pr = linkgraph.pagerank(docs, edges, iters=PR_ITERS,
+                            damping=PR_DAMPING)
+    return pr.select("doc_id", F.round("rank", 6).alias("rank"))
+
+
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
 
@@ -798,6 +828,43 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.2
 """
+
+# PageRank twin: the identical recurrence unrolled as PR_ITERS chained
+# CTEs (no recursion needed for a fixed iteration count). Doubles end
+# within ~1e-15 of Spark's; round-6 parity like every float entry.
+def _pagerank_sql() -> str:
+    head = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+    SELECT DISTINCT doc_id AS src,
+           (doc_id * {PR_EDGE_A} + k * {PR_EDGE_B})
+               % (SELECT n FROM nn) AS dst
+    FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(k)
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT doc_id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank
+        FROM documents)"""
+    steps = []
+    for t in range(1, PR_ITERS + 1):
+        steps.append(f"""
+pr{t} AS (
+    SELECT n.doc_id,
+           ({1.0 - PR_DAMPING}::DOUBLE / (SELECT n FROM nn))
+           + {PR_DAMPING}::DOUBLE * coalesce(s.c, 0.0::DOUBLE) AS rank
+    FROM documents n
+    LEFT JOIN (
+        SELECT e.dst AS doc_id, sum(p.rank / d.outdeg) AS c
+        FROM pr{t - 1} p
+        JOIN edges e ON e.src = p.doc_id
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s ON s.doc_id = n.doc_id
+)""")
+    return (head + "," + ",".join(steps)
+            + f"\nSELECT doc_id, round(rank, 6) AS rank FROM pr{PR_ITERS}")
+
+
+_ORACLE["link_pagerank"] = _pagerank_sql()
 
 # Transitive components twin: same pair graph as dedup_ngram_jaccard,
 # then min-reachable-node per doc via a RECURSIVE CTE (the union-dedup
@@ -1477,6 +1544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
+    "link_pagerank": q_link_pagerank,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,

@@ -1,0 +1,68 @@
+"""PageRank power iteration (operators/linkgraph.py) vs a numpy oracle
+implementing the identical recurrence (fixed iterations, no dangling
+redistribution — dangling mass leaks in both, as documented)."""
+
+import random
+
+import numpy as np
+
+from modern_search_engines_spark.operators import linkgraph
+
+
+def _np_pagerank(n, edges, iters=10, d=0.85):
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        c = np.zeros(n)
+        for s, t in edges:
+            c[t] += r[s] / deg[s]
+        r = (1.0 - d) / n + d * c
+    return r
+
+
+def _spark_pagerank(spark, n, edges, iters=10):
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    out = linkgraph.pagerank(nodes, edf, iters=iters).collect()
+    got = np.zeros(n)
+    for row in out:
+        got[row["doc_id"]] = row["rank"]
+    return got
+
+
+def test_ring_graph_is_uniform(spark):
+    n = 8
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    got = _spark_pagerank(spark, n, edges)
+    assert np.allclose(got, 1.0 / n, atol=1e-12)
+
+
+def test_random_graph_matches_numpy(spark):
+    rng = random.Random(99)
+    n = 30
+    edges = sorted({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(70)})
+    # ensure at least one node has no in-links and one is dangling:
+    edges = [(s, t) for s, t in edges if t != 0 and s != n - 1]
+    srcs = {s for s, _ in edges}
+    got = _spark_pagerank(spark, n, edges)
+    want = _np_pagerank(n, edges)
+    assert np.allclose(got, want, atol=1e-9)
+    # no-in-link node holds exactly the teleport mass
+    assert abs(got[0] - 0.15 / n) < 1e-12
+    assert n - 1 not in srcs  # the dangling node really dangles
+
+
+def test_hub_attracts_rank(spark):
+    # star: everyone links to node 0 (and 0 links to 1 to avoid dangling)
+    n = 10
+    edges = [(i, 0) for i in range(1, n)] + [(0, 1)]
+    got = _spark_pagerank(spark, n, edges)
+    want = _np_pagerank(n, edges)
+    assert np.allclose(got, want, atol=1e-9)
+    # the hub and its sole successor (which inherits ALL the hub's mass
+    # each round) both dominate the spokes, which hold teleport mass only
+    assert got[0] > 5 * got[2] and got[1] > 5 * got[2]
+    assert np.allclose(got[2:], 0.15 / n, atol=1e-12)
