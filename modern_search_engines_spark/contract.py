@@ -203,6 +203,14 @@ def q_dedup_ngram_jaccard(spark, sf):
     SQL twin applies the identical cap so both engines compute the same
     well-defined similarity at any scale factor.
     """
+    return _jaccard_pairs(spark, sf)
+
+
+def _jaccard_pairs(spark, sf):
+    """(doc_a, doc_b, jaccard) rounded-6, ≥ 0.2, df-capped — THE
+    verified near-dup pair graph shared by the jaccard and the
+    connected-components entries (one derivation, two consumers; its
+    SQL restatement is likewise shared by both twins)."""
     from .operators import dedup
     # the shingle table feeds sizes + both self-join sides: cache it so
     # the tokenize/explode lineage runs once, not three times
@@ -225,11 +233,7 @@ def q_dedup_components(spark, sf):
     The iterative Spark algorithm is twinned by a DuckDB RECURSIVE CTE
     computing min-reachable-node per doc over the same pair graph."""
     from .operators import dedup
-    pairs = (dedup.jaccard_near_dups(_shingles(spark, sf).cache(),
-                                     threshold=None,
-                                     max_shingle_df=MAX_SHINGLE_DF)
-             .where(F.round("jaccard", 6) >= 0.2)
-             .select("doc_a", "doc_b"))
+    pairs = _jaccard_pairs(spark, sf).select("doc_a", "doc_b")
     comp = dedup.connected_components(pairs, "doc_a", "doc_b")
     docs = _docs(spark, sf).select("doc_id")
     return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
@@ -809,8 +813,9 @@ SELECT doc_id,
 FROM documents
 """
 
-_ORACLE["dedup_ngram_jaccard"] = f"""
-WITH {_SHINGLE_SQL},
+# the verified near-dup pair graph, shared verbatim by the jaccard and
+# connected-components twins (mirrors _jaccard_pairs on the Spark side)
+_PAIRS_SQL = f"""
 cold AS (
     SELECT doc_id, sh FROM sh
     WHERE sh IN (SELECT sh FROM sh GROUP BY sh
@@ -821,12 +826,19 @@ inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
     FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
-       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-           JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.2
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.2
+)"""
+
+_ORACLE["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLE_SQL},
+{_PAIRS_SQL}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 # PageRank twin: the identical recurrence unrolled as PR_ITERS chained
@@ -871,23 +883,7 @@ _ORACLE["link_pagerank"] = _pagerank_sql()
 # fixpoint terminates because reach is bounded by nodes × components).
 _ORACLE["dedup_components"] = f"""
 WITH RECURSIVE {_SHINGLE_SQL},
-cold AS (
-    SELECT doc_id, sh FROM sh
-    WHERE sh IN (SELECT sh FROM sh GROUP BY sh
-                 HAVING count(*) <= {MAX_SHINGLE_DF})
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY doc_id),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-),
-pairs AS (
-    SELECT doc_a, doc_b
-    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-               JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.2
-),
+{_PAIRS_SQL},
 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach(n, m) AS (

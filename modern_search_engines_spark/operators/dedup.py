@@ -212,7 +212,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     """
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v")).distinct())
-    prev_chk = None
+    prev_chk, converged = None, False
     for _ in range(max_iter):
         # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"),
@@ -241,8 +241,17 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             .alias("h")).collect()[0]
         chk = (chk["n"], chk["h"])
         if chk == prev_chk:
+            converged = True
             break
         prev_chk = chk
+    if not converged:
+        # a non-fixpoint edge set is not a star per component — nodes
+        # could carry multiple, non-minimal labels. Refuse loudly rather
+        # than hand back a silently-wrong mapping (O(log² n) rounds
+        # suffice: 25 covers any graph the id space can address).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds; raise max_iter")
     # converged: every edge is (node → component min); roots appear only
     # on the v side and map to themselves
     roots = e.select(F.col("v").alias("u"),

@@ -47,20 +47,24 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
     of the graph, replayable by any engine (the contract twin unrolls
     the same recurrence in SQL).
     """
-    n = nodes.count()
+    # both loop-invariant inputs are checkpointed ONCE: without this the
+    # re-anchor join would re-evaluate the caller's node plan (e.g. a
+    # parquet scan) on every round, and the edge join its whole lineage
+    nd = nodes.select(node_col).localCheckpoint(eager=True)
+    n = nd.count()
     deg = out_degree(edges, src)
     ed = (edges.join(deg, src)
           .select(F.col(src), F.col(dst), F.col("outdeg"))
-          .localCheckpoint(eager=True))  # reused every round: cut lineage
+          .localCheckpoint(eager=True))
     base = float((1.0 - damping) / n)
-    ranks = nodes.select(F.col(node_col), F.lit(1.0 / n).alias("rank"))
+    ranks = nd.select(F.col(node_col), F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contrib = (ed.join(ranks, ed[src] == ranks[node_col])
                    .select(F.col(dst).alias(node_col),
                            (F.col("rank") / F.col("outdeg")).alias("c"))
                    .groupBy(node_col)
                    .agg(F.sum("c").alias("c")))
-        ranks = (nodes.select(node_col)
+        ranks = (nd
                  .join(contrib, node_col, "left")
                  .select(F.col(node_col),
                          (F.lit(base) + F.lit(damping)

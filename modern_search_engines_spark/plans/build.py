@@ -92,8 +92,12 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         # for fused indexes with the bucket key the compressed table uses
         if s.get("n_buckets") != n_buckets:
             s["n_buckets"] = n_buckets
-            with open(stats_path, "w") as f:
+            # temp + atomic rename, like every stage commit: a kill mid-
+            # dump must never truncate the only copy of committed stats
+            tmp = stats_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(s, f)
+            os.replace(tmp, stats_path)
         return s
 
     # Independent stages share the cluster concurrently (Spark's driver
@@ -139,7 +143,8 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
                            inputs=("tf",))
         if materialize_bm25:
             bm25 = sw.write_stage(bm25_plan, "bm25_postings",
-                                  inputs=("tf",), sort_within=["term"])
+                                  inputs=("tf",), sort_within=["term"],
+                                  params={"n_buckets": n_buckets})
             compressed_input, compressed_lineage = bm25, ("bm25_postings",)
         else:
             # a stale flat table from a prior materialized build must not
@@ -148,13 +153,18 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
             sw.drop_stage("bm25_postings")
             bm25 = bm25_plan  # queryable plan, never round-tripped
             compressed_input, compressed_lineage = bm25_plan, ("tf",)
+        # n_buckets (and sharding) live in the stage params: resuming
+        # the same out_dir with a different bucket count must rebuild
+        # these stages, not skip them and leave the on-disk layout
+        # disagreeing with the n_buckets recorded in corpus_stats.json
         compressed = sw.write_stage(
             postings.build_compressed_postings(compressed_input,
                                                n_salts=n_salts,
                                                n_shards=n_shards,
                                                n_buckets=n_buckets),
             "postings_compressed", inputs=compressed_lineage,
-            partition_by=["bucket"], sort_within=["term", "shard"])
+            partition_by=["bucket"], sort_within=["term", "shard"],
+            params={"n_buckets": n_buckets, "n_shards": n_shards})
         term_stats = f_ts.result()
 
     # doc_idx is a pure expression of doc_id — derive the mapping from
@@ -186,7 +196,7 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
     tf = rd("tf")
     if os.path.exists(os.path.join(out_dir, "bm25_postings")):
         bm25 = rd("bm25_postings")
-    else:
+    elif "n_buckets" in stats:
         # fused builds (materialize_bm25=False) never wrote the flat
         # table; rebuild the SAME lazy scoring plan the compressed stage
         # consumed so run_batch(method='bm25') works on a fused index —
@@ -197,7 +207,12 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
             tf, indexing.build_term_stats(tf, stats["N"]),
             indexing.build_doc_len(tf),
             indexing.build_doc_fields(indexed_raw, stats["avg_date_ts"]),
-            stats["avgdl"], stats.get("n_buckets", 64))
+            stats["avgdl"], stats["n_buckets"])
+    else:
+        # pre-n_buckets fused index: guessing a bucket count would make
+        # pruned naive-bm25 queries silently wrong — surface None (the
+        # WAND/compressed path is unaffected) like the pre-change code
+        bm25 = None
     # back-compat: older indexes materialized doc_dim as its own table
     dim_path = os.path.join(out_dir, "doc_dim")
     doc_dim = (rd("doc_dim") if os.path.exists(dim_path)

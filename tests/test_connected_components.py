@@ -66,6 +66,15 @@ def test_random_graphs_match_union_find(spark):
         assert _cc_spark(spark, edges) == _union_find(edges), trial
 
 
+def test_non_convergence_raises_not_silently_wrong(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_iter=1)
+
+
 def test_string_ids_order_lexicographically(spark):
     df = spark.createDataFrame(
         [("bb", "aa"), ("bb", "cc"), ("zz", "yy")],

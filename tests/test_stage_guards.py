@@ -120,3 +120,35 @@ def test_old_manifest_without_schema_rebuilds(spark, tmp_path):
     first = m["commit_id"]
     sw.write_stage(_df(spark), "s")
     assert sw.manifest("s")["commit_id"] != first
+
+
+def test_n_buckets_change_rebuilds_postings(spark, tmp_path):
+    """Resuming the same index dir with a different n_buckets must
+    rebuild the bucket-keyed stages (their params record n_buckets) and
+    re-stamp corpus_stats.json — never serve a postings layout that
+    disagrees with the bucket count load_index will prune with."""
+    import json as _json
+
+    from modern_search_engines_spark import corpus
+    from modern_search_engines_spark.plans.build import (
+        build_persistent_index, load_index,
+    )
+
+    out = str(tmp_path / "idx")
+    pages = corpus.pages_df(spark, 120, seed=3, num_partitions=4)
+    build_persistent_index(spark, pages, out, verbose=False,
+                           n_buckets=8, materialize_bm25=False)
+    buckets8 = {d for d in os.listdir(os.path.join(
+        out, "postings_compressed")) if d.startswith("bucket=")}
+    assert len(buckets8) > 4
+
+    build_persistent_index(spark, pages, out, verbose=False,
+                           n_buckets=4, materialize_bm25=False)
+    buckets4 = {d for d in os.listdir(os.path.join(
+        out, "postings_compressed")) if d.startswith("bucket=")}
+    assert buckets4 <= {f"bucket={i}" for i in range(4)}
+    with open(os.path.join(out, "corpus_stats.json")) as f:
+        assert _json.load(f)["n_buckets"] == 4
+    # the rebuilt lazy bm25 plan prunes consistently with the new layout
+    idx = load_index(spark, out)
+    assert idx["bm25_postings"].agg(F.max("bucket")).collect()[0][0] <= 3
