@@ -51,7 +51,8 @@ BENCH_QUERIES = [
 
 CONTRACT_BENCH = (
     "bm25_topk", "tfidf_topk", "doc_tf", "term_df_idf",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "embedding_cosine_topk",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_components",
+    "link_pagerank", "embedding_cosine_topk",
     "events_user_topk", "events_sessions", "tpch_pricing_summary",
 )
 

@@ -210,8 +210,12 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     order-insensitive hash-sum checksum of the canonical (big→small)
     edge set — one tiny aggregation job per round.
     """
+    # checkpoint the input once: the edge plan is often an expensive
+    # derivation (e.g. the shingle self-join pair graph) and the first
+    # round's star passes would otherwise re-execute it several times
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .where(F.col("u") != F.col("v")).distinct())
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
     prev_chk, converged = None, False
     for _ in range(max_iter):
         # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
