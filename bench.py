@@ -173,10 +173,16 @@ def main() -> None:
             head_path = os.path.join(work, "pages_head")
             materialize_pages(n_head, head_path, cpus)
         warm = get_spark("bench-warm", master=f"local[{cpus}]")
-        try:  # pull the corpora through the page cache, untimed
-            warm.read.parquet(head_path).foreach(lambda r: None)
+        try:  # pull the corpora through the page cache, untimed. JVM-only
+            # noop sink (reads every column/page, runs no Python workers):
+            # a python action (foreach) here left a benign-but-noisy
+            # DAGScheduler "Broken pipe" accumulator race against the
+            # spark.stop() below — the r02 bench-tail stack trace
+            warm.read.parquet(head_path).write.format("noop") \
+                .mode("overwrite").save()
             if head_path != pages_path:
-                warm.read.parquet(pages_path).foreach(lambda r: None)
+                warm.read.parquet(pages_path).write.format("noop") \
+                    .mode("overwrite").save()
         finally:
             warm.stop()
 

@@ -33,8 +33,12 @@ from pyspark.sql import DataFrame, functions as F
 # bucket space by 65536× but its 4 bands only support max_distance ≤ 4
 # (the assert below enforces this) — NOT the reference's hamming < 5
 # (Crawler.py:209-213, max_distance=5, needs ≥ 5 bands). For that
-# threshold at extreme scale, keep 16-bit bands and split hot buckets
-# with a secondary prefix key, or accept the ≤ 4 guarantee.
+# threshold at extreme scale, keep 16-bit bands and pass
+# ``max_bucket_docs``: band buckets over the cap are re-joined on a
+# (band, second-shared-band) composite key instead of the band alone —
+# sub-bucket size is |bucket_b ∩ bucket_s|, and recall stays EXACT
+# because a pair within max_distance ≤ n_bands − 1 shares ≥ 2 bands
+# (pigeonhole), so it meets on (hot band, some other shared band).
 
 
 def _bands(col: str, prefix: str, band_bits: int):
@@ -49,34 +53,83 @@ def _bands(col: str, prefix: str, band_bits: int):
     return out
 
 
+def _sim_band_candidates(sh: DataFrame, band_bits: int,
+                         max_bucket_docs: int | None) -> DataFrame:
+    """Candidate pairs (a.*, b.*) from the band join, pre-verify.
+
+    ``max_bucket_docs`` splits hot band buckets: docs in a bucket over
+    the cap are re-keyed on (hot band, each OTHER band of the doc) and
+    self-joined on that composite key, so the within-bucket pairing is
+    bounded by the two-band intersection size instead of the hot
+    bucket's square. Factored out so tests can count candidates."""
+    band_arr = F.array(*_bands("sim_hi", "h", band_bits),
+                       *_bands("sim_lo", "l", band_bits))
+    banded = sh.select("doc_id", "sim_hi", "sim_lo",
+                       F.explode(band_arr).alias("band"))
+
+    def _self_join(p: DataFrame, key: str) -> DataFrame:
+        a, b = p.alias("a"), p.alias("b")
+        return (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                        F.col("a.sim_hi").alias("a_hi"),
+                        F.col("a.sim_lo").alias("a_lo"),
+                        F.col("b.sim_hi").alias("b_hi"),
+                        F.col("b.sim_lo").alias("b_lo")))
+
+    if max_bucket_docs is None:
+        return _self_join(banded, "band")
+    hot = (banded.groupBy("band")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .where(F.col("n") > max_bucket_docs)
+           .select("band"))
+    cold = banded.join(F.broadcast(hot), "band", "left_anti")
+    # hot branch: every doc of a hot bucket re-keyed by (hot band, one
+    # of its other bands). A qualifying pair shares ≥ 2 bands, so if
+    # its shared band b is hot it also shares some s ≠ b and both docs
+    # emit key (b, s).
+    hot_keys = (banded.join(F.broadcast(hot), "band")
+                .select("doc_id", "sim_hi", "sim_lo", "band",
+                        F.explode(band_arr).alias("sec"))
+                .where(F.col("sec") != F.col("band"))
+                .select("doc_id", "sim_hi", "sim_lo",
+                        F.concat("band", F.lit("|"), "sec").alias("key")))
+    return _self_join(cold, "band").unionByName(
+        _self_join(hot_keys, "key"))
+
+
 def simhash_near_dups(docs: DataFrame, max_distance: int = 5,
-                      band_bits: int = 16) -> DataFrame:
+                      band_bits: int = 16,
+                      max_bucket_docs: int | None = None) -> DataFrame:
     """(doc_a, doc_b, distance) — hamming(simhash) < max_distance
     (Crawler.py:209-213 semantics, ``hamming < 5``).
 
     Requires ``max_distance ≤ 128 // band_bits`` (pigeonhole: a pair at
     distance ≤ n_bands − 1 has some band untouched by the differing
     bits). ``band_bits`` must divide 64.
+
+    ``max_bucket_docs`` enables the hot-bucket secondary split (exact —
+    no recall loss) and additionally requires
+    ``max_distance ≤ n_bands − 1`` so every qualifying pair shares two
+    bands; at the boundary ``max_distance == n_bands`` a pair may share
+    only one band and a split of that band could lose it.
     """
     n_bands = 128 // band_bits
     assert 64 % band_bits == 0, "band_bits must divide 64"
     assert max_distance <= n_bands, (
         f"max_distance {max_distance} needs ≥ {max_distance} bands; "
         f"band_bits={band_bits} gives only {n_bands}")
+    assert max_bucket_docs is None or max_distance <= n_bands - 1, (
+        f"hot-bucket split needs max_distance ≤ {n_bands - 1} "
+        f"(pairs must share ≥ 2 bands); got {max_distance}")
     sh = docs.select("doc_id", "sim_hi", "sim_lo")
-    banded = sh.select(
-        "doc_id", "sim_hi", "sim_lo",
-        F.explode(F.array(*_bands("sim_hi", "h", band_bits),
-                          *_bands("sim_lo", "l", band_bits))).alias("band"))
-    a, b = banded.alias("a"), banded.alias("b")
-    dist = (F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
-            + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))))
+    cand = _sim_band_candidates(sh, band_bits, max_bucket_docs)
+    dist = (F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+            + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo"))))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                dist.alias("distance"))
+        cand
+        .select("doc_a", "doc_b", dist.alias("distance"))
         .where(F.col("distance") < max_distance)
         .distinct()
     )
@@ -186,9 +239,27 @@ def exact_dups(df: DataFrame, text_col: str = "text",
             .where(F.col("n_docs") > 1))
 
 
+def _skew_safe_min_join(rows: DataFrame, mins: DataFrame, key: str,
+                        hot_cap: int) -> DataFrame:
+    """``rows ⋈ mins`` on ``key`` where ``mins`` carries (key, m, n):
+    keys whose group size exceeds ``hot_cap`` are joined via a
+    BROADCAST of the (tiny — ≤ total_rows/hot_cap entries) hot subset,
+    map-side, while the rest take the normal shuffle join. This is the
+    mega-component guard: AQE's skew-join CANNOT split this shape (its
+    rule only matches SMJ over two bare shuffle stages, and the mins
+    side has a post-shuffle aggregate — verified empirically), so at
+    10^12-edge scale the component hub's min-label join would otherwise
+    funnel the whole giant component through one task."""
+    hot = mins.where(F.col("n") > hot_cap).drop("n")
+    cold = (rows.join(F.broadcast(hot.select(key)), key, "left_anti")
+            .join(mins.drop("n"), key))
+    return cold.unionByName(rows.join(F.broadcast(hot), key))
+
+
 def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         hot_key_rows: int = 2_000_000) -> DataFrame:
     """(node, component) for every node that appears in ``edges``;
     ``component`` is the smallest node id in the node's connected
     component (so exact duplicates of transitivity chains a~b~c collapse
@@ -202,13 +273,23 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     O(log² n) rounds. Works for any orderable id type (string md5 ids
     order lexicographically).
 
+    ``hot_key_rows`` caps the rows any single min-label join key may
+    route through the shuffle: beyond it the key's min is broadcast and
+    its rows are joined map-side (``_skew_safe_min_join``), so a
+    component spanning most of the corpus never becomes a single
+    straggler task (property-tested with a 90%-of-nodes component).
+
     Per-round ``localCheckpoint`` truncates the iterative plan lineage
     (the canonical Spark iterative-algorithm hazard: without it every
     round's plan embeds all prior rounds and analysis time explodes);
     on a cluster with executor loss concerns use reliable
     ``checkpoint`` instead. Convergence is detected by a count +
     order-insensitive hash-sum checksum of the canonical (big→small)
-    edge set — one tiny aggregation job per round.
+    edge set — one tiny aggregation job per round — and then CONFIRMED
+    exactly (``exceptAll`` emptiness against the previous round's edge
+    set, one extra job on the final contracted edges): a 2⁻⁶⁴ checksum
+    collision between distinct consecutive edge sets can therefore
+    never silently terminate the loop early.
     """
     # checkpoint the input once: the edge plan is often an expensive
     # derivation (e.g. the shingle self-join pair graph) and the first
@@ -216,22 +297,32 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v")).distinct()
          .localCheckpoint(eager=True))
-    prev_chk, converged = None, False
+    prev_chk, prev_e, converged = None, None, False
     for _ in range(max_iter):
-        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u}).
+        # The min aggregation is algebraic (map-side partial absorbs any
+        # hub fan-in); the join back is the skew hazard — a giant
+        # component's hub key holds most of sym in late rounds — so keys
+        # over hot_key_rows take the broadcast branch of
+        # _skew_safe_min_join instead of one monster shuffle partition.
         sym = e.union(e.select(F.col("v").alias("u"),
                                F.col("u").alias("v")))
         mins = (sym.groupBy("u")
-                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
-        e = (sym.where(F.col("v") > F.col("u")).join(mins, "u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m"),
+                     F.count(F.lit(1)).alias("n")))
+        e = (_skew_safe_min_join(sym.where(F.col("v") > F.col("u")),
+                                 mins, "u", hot_key_rows)
              .select(F.col("v").alias("u"), F.col("m").alias("v"))
              .where(F.col("u") != F.col("v")).distinct())
         # small-star: direct edges big→small; every smaller neighbor and
-        # u itself link to m = min(N⁻(u))
+        # u itself link to m = min(N⁻(u)). Same hot-key guard: a
+        # high-degree node whose id EXCEEDS its neighbors' keys all its
+        # edges here.
         d = e.select(F.greatest("u", "v").alias("u"),
                      F.least("u", "v").alias("v"))
-        mins = d.groupBy("u").agg(F.min("v").alias("m"))
-        e = (d.join(mins, "u")
+        mins = d.groupBy("u").agg(F.min("v").alias("m"),
+                                  F.count(F.lit(1)).alias("n"))
+        e = (_skew_safe_min_join(d, mins, "u", hot_key_rows)
              .select(F.col("v").alias("u"), F.col("m").alias("v"))
              .where(F.col("u") != F.col("v"))
              .union(mins.select(F.col("u"), F.col("m").alias("v")))
@@ -245,9 +336,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             .alias("h")).collect()[0]
         chk = (chk["n"], chk["h"])
         if chk == prev_chk:
-            converged = True
-            break
-        prev_chk = chk
+            # exact confirmation: counts already match, so one-sided
+            # multiset difference emptiness ⇔ the edge sets are equal —
+            # a checksum collision cannot cause silent early exit
+            if e.exceptAll(prev_e).isEmpty():
+                converged = True
+                break
+        prev_chk, prev_e = chk, e
     if not converged:
         # a non-fixpoint edge set is not a star per component — nodes
         # could carry multiple, non-minimal labels. Refuse loudly rather

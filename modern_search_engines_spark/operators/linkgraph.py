@@ -13,15 +13,28 @@ and re-anchor on the full node set with a left join (nodes with no
 in-links keep the teleport mass). No global sort, no driver-side
 graph, no per-row Python. Per-round ``localCheckpoint`` truncates the
 iterative lineage exactly as ``dedup.connected_components`` does (use
-reliable ``checkpoint`` on a cluster). Dangling nodes (outdeg 0) leak
-their damped mass by construction — the usual simplification; pass
-edges with ≥1 out-edge per node (or accept the leak, the relative
-ordering is what retrieval blends consume).
+reliable ``checkpoint`` on a cluster).
+
+Dangling nodes (outdeg 0): by default their damped mass leaks each
+round (the usual simplification — fine for the relative ordering a
+retrieval blend consumes). ``redistribute_dangling=True`` adds the
+standard correction: the total rank sitting on outdeg-0 nodes is
+aggregated per round (a 1-row job) and redistributed uniformly, so
+ranks sum to 1 and absolute values match the textbook recurrence.
+
+Input contract: every edge endpoint (src AND dst) must appear in
+``nodes`` — contributions of unknown-src edges are silently dropped by
+the inner join and unknown-dst contributions are discarded by the
+re-anchor join, skewing ranks with no error. ``validate=True`` asserts
+the contract with two anti-join counts before iterating (debug tool —
+two extra jobs over the edge set).
 
 Scale notes: the edge table shuffles on src once per iteration and the
 rank vector is O(nodes) — both partition cleanly; a skewed in-degree
-(one mega-hub dst) is a hash-aggregate hot key that AQE's skew
-handling splits. The rank vector is re-derived, never collected.
+(one mega-hub dst) is a hash-aggregate hot key whose partial (map-side)
+aggregation absorbs the fan-in. The rank vector is re-derived, never
+collected; the dangling-mass aggregate is the only per-round driver
+value (one float).
 """
 
 from __future__ import annotations
@@ -36,10 +49,14 @@ def out_degree(edges: DataFrame, src: str = "src") -> DataFrame:
 
 def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
              damping: float = 0.85, node_col: str = "doc_id",
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             redistribute_dangling: bool = False,
+             validate: bool = False) -> DataFrame:
     """(node_col, rank) after ``iters`` fixed power-iteration rounds.
 
-    r₀(v) = 1/N;  rₜ₊₁(v) = (1−d)/N + d·Σ_{u→v} rₜ(u)/outdeg(u)
+    r₀(v) = 1/N;  rₜ₊₁(v) = (1−d)/N + d·(Σ_{u→v} rₜ(u)/outdeg(u)
+                                          [+ D_t/N if redistributing])
+    where D_t is the round's total rank on outdeg-0 nodes.
 
     ``edges`` should be distinct (src, dst) pairs; self-loops are legal
     (they are just edges in the recurrence). Fixed iteration count —
@@ -56,9 +73,28 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
     ed = (edges.join(deg, src)
           .select(F.col(src), F.col(dst), F.col("outdeg"))
           .localCheckpoint(eager=True))
+    if validate:
+        ends = (edges.select(F.col(src).alias(node_col))
+                .union(edges.select(F.col(dst).alias(node_col))))
+        orphans = ends.join(nd, node_col, "left_anti").count()
+        if orphans:
+            raise ValueError(
+                f"{orphans} edge endpoint rows missing from nodes — "
+                "their rank mass would be silently dropped")
     base = float((1.0 - damping) / n)
     ranks = nd.select(F.col(node_col), F.lit(1.0 / n).alias("rank"))
+    # dangling set is loop-invariant: nodes with no out-edge
+    dangling = (nd.join(ed.select(F.col(src).alias(node_col)).distinct(),
+                        node_col, "left_anti")
+                .localCheckpoint(eager=True)
+                if redistribute_dangling else None)
     for _ in range(iters):
+        extra = 0.0
+        if dangling is not None:
+            # one scalar per round: total rank stuck on outdeg-0 nodes
+            d_mass = (ranks.join(dangling, node_col)
+                      .agg(F.sum("rank")).collect()[0][0]) or 0.0
+            extra = float(damping * d_mass / n)
         contrib = (ed.join(ranks, ed[src] == ranks[node_col])
                    .select(F.col(dst).alias(node_col),
                            (F.col("rank") / F.col("outdeg")).alias("c"))
@@ -67,7 +103,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
         ranks = (nd
                  .join(contrib, node_col, "left")
                  .select(F.col(node_col),
-                         (F.lit(base) + F.lit(damping)
+                         (F.lit(base) + F.lit(extra) + F.lit(damping)
                           * F.coalesce(F.col("c"), F.lit(0.0)))
                          .alias("rank"))
                  .localCheckpoint(eager=True))

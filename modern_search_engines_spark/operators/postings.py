@@ -108,9 +108,13 @@ def build_compressed_postings(bm25_postings: DataFrame,
     """(term, bucket, shard, n, blobs…) — the salted two-phase build.
 
     Phase 1 shuffle key (term, shard, salt) spreads head terms over
-    ``n_salts`` tasks and builds sorted runs JVM-side; phase 2 shuffle key
-    (term, shard) moves only the packed runs and merges+compresses them in
-    one Arrow-batched UDF pass.
+    ``n_salts`` tasks and builds sorted runs JVM-side; the packed runs
+    are then repartitioned ONCE by ``bucket`` — hash(bucket) satisfies
+    the clustered distribution of phase 2's groupBy(term, bucket) AND
+    the partitioned write's layout, so the merge+compress aggregate and
+    the bucket-dir write both reuse that exchange (2 shuffles total,
+    verified by tests/test_plan_shapes; the naive shape is 3 — the third
+    moved every compressed blob again just to co-locate bucket dirs).
     """
     with_keys = bm25_postings.select(
         "term",
@@ -131,7 +135,8 @@ def build_compressed_postings(bm25_postings: DataFrame,
     )
 
     phase2 = (
-        phase1.groupBy("term", "bucket")
+        phase1.repartition("bucket")
+        .groupBy("term", "bucket")
         .agg(F.collect_list("run_ids").alias("runs_ids"),
              F.collect_list("run_scores").alias("runs_scores"))
         .withColumn("blobs",
@@ -157,6 +162,7 @@ def build_compressed_postings(bm25_postings: DataFrame,
                 F.transform("run", lambda x: x["doc_idx"]).alias("run_ids"),
                 F.transform("run", lambda x: x["score"])
                 .alias("run_scores"))
+            .repartition("bucket")
             .groupBy("term", "bucket", "shard")
             .agg(F.collect_list("run_ids").alias("runs_ids"),
                  F.collect_list("run_scores").alias("runs_scores"))

@@ -288,7 +288,7 @@ def run_wand(spark: SparkSession, queries: list[tuple[str, str]],
                                    term_list=[r[1] for r in rows])
     joined = work.join(F.broadcast(terms), "term")
 
-    def _wand_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _wand_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]
         top = wand_topk(_rows_to_cursors(pdf), k)
         return pd.DataFrame(

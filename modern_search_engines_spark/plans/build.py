@@ -109,9 +109,15 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
     # busy across stage tails.
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_stats = pool.submit(_stats)
+        # docs sorted by doc_id within partitions (no shuffle): parquet
+        # min/max stats then give tight per-row-group id ranges, which
+        # the hot serving tier's bounded doc-id lookup prunes on
+        # (plans/hot._doc_ids_of)
         f_docs = pool.submit(
-            sw.write_stage, indexed_raw.select(*DOCS_DISPLAY_COLS),
-            "docs", inputs=("extracted",))
+            lambda: sw.write_stage(indexed_raw.select(*DOCS_DISPLAY_COLS),
+                                   "docs", inputs=("extracted",),
+                                   sort_within=["doc_id"],
+                                   params={"sorted_by": "doc_id"}))
         f_tf = pool.submit(
             sw.write_stage, indexing.build_tf(indexed, ngram_max), "tf",
             inputs=("extracted",),
@@ -157,6 +163,9 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         # the same out_dir with a different bucket count must rebuild
         # these stages, not skip them and leave the on-disk layout
         # disagreeing with the n_buckets recorded in corpus_stats.json
+        # pre_partitioned: the compressed plan already ends in a
+        # repartition("bucket") that its merge aggregate reuses — the
+        # writer must not shuffle every blob a second time
         compressed = sw.write_stage(
             postings.build_compressed_postings(compressed_input,
                                                n_salts=n_salts,
@@ -164,7 +173,8 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
                                                n_buckets=n_buckets),
             "postings_compressed", inputs=compressed_lineage,
             partition_by=["bucket"], sort_within=["term", "shard"],
-            params={"n_buckets": n_buckets, "n_shards": n_shards})
+            params={"n_buckets": n_buckets, "n_shards": n_shards},
+            pre_partitioned=True)
         term_stats = f_ts.result()
 
     # doc_idx is a pure expression of doc_id — derive the mapping from

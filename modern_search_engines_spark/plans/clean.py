@@ -69,10 +69,21 @@ def verified_near_dup_pairs(docs: DataFrame,
                             n_minhash: int = 8, n_bands: int = 4,
                             max_shingle_df: int | None = None,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            cache_registry: list | None = None
+                            ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — LSH candidates verified by exact
-    shingle jaccard ≥ threshold. doc_a < doc_b always."""
+    shingle jaccard ≥ threshold. doc_a < doc_b always.
+
+    The shingle table is ``.cache()``d (it feeds the signature build,
+    both exact-verify join sides, and the size aggregate). Long-lived
+    sessions should unpersist it once the returned plan is
+    materialized: pass ``cache_registry`` (a list; every DataFrame this
+    plan caches is appended) and unpersist its entries afterwards —
+    ``clean_corpus`` does exactly that after the doc_status commit."""
     sh = shingle_table(docs, text_col, id_col, max_shingle_df).cache()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     cand = dedup.minhash_lsh_pairs(sh, n_minhash, n_bands)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -99,11 +110,14 @@ def classify_docs(docs: DataFrame, langs=("en",), min_tokens: int = 5,
                   max_shingle_df: int | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
                   stats: DataFrame | None = None,
-                  transitive: bool = False) -> DataFrame:
+                  transitive: bool = False,
+                  cache_registry: list | None = None) -> DataFrame:
     """(doc_id, status, n_tokens, lang_guess, rep_ratio) — the whole
     classification as one composable plan (no materialization; the
     staged pipeline below commits it). Pass ``stats`` to reuse an
-    already-materialized doc_quality table instead of recomputing it."""
+    already-materialized doc_quality table instead of recomputing it;
+    ``cache_registry`` collects the plan's cached subtrees for the
+    caller to unpersist after materialization."""
     if stats is None:
         stats = quality.doc_quality(docs, text_col, id_col)
     canon = stats.groupBy("text_md5").agg(
@@ -118,7 +132,8 @@ def classify_docs(docs: DataFrame, langs=("en",), min_tokens: int = 5,
     survivors = flagged.where(F.col("gate").isNull()).select(id_col)
     pairs = verified_near_dup_pairs(
         docs.join(survivors, id_col), jaccard_threshold,
-        n_minhash, n_bands, max_shingle_df, text_col, id_col)
+        n_minhash, n_bands, max_shingle_df, text_col, id_col,
+        cache_registry=cache_registry)
     if transitive:
         comp = dedup.connected_components(pairs, "doc_a", "doc_b")
         losers = (comp.where(F.col("node") != F.col("component"))
@@ -156,12 +171,15 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
     sw = StageWriter(spark, out_dir, verbose=verbose)
     stats = sw.write_stage(quality.doc_quality(docs, text_col, id_col),
                            "doc_stats")
+    caches: list = []
     status = sw.write_stage(
         classify_docs(docs, langs, min_tokens, max_rep_ratio,
                       jaccard_threshold, n_minhash, n_bands,
                       max_shingle_df, text_col, id_col, stats=stats,
-                      transitive=transitive),
+                      transitive=transitive, cache_registry=caches),
         "doc_status", inputs=("doc_stats",), params=params)
+    for c in caches:  # the stage commit materialized the plan — drop
+        c.unpersist()  # the shingle cache instead of leaking it
     clean = sw.write_stage(
         docs.join(status.where(F.col("status") == "kept")
                   .select(id_col), id_col),

@@ -18,17 +18,23 @@ distributed WAND path (tested).
 
 Memory bounds: nothing whole-index lives in RAM. Read blobs are cached
 per (bucket) on an LRU-ish dict capped by ``max_cached_buckets``; the
-doc_idx→doc_id display map loads lazily per result doc from the docs
-parquet (here: one bounded dict, since doc ids are 32-byte strings; at
-10^12 docs that map becomes a doc_dim key-value service or a filtered
-parquet read per top-k — the top-k is ≤ k rows either way).
+doc_idx→doc_id display lookup resolves each query's ≤ k result ids with
+a row-group-pruned read of the docs parquet (``_doc_ids_of``): the
+build sorts the docs stage by doc_id, so parquet column statistics give
+tight per-row-group id ranges and a top-k resolution touches O(k) row
+groups out of the whole table — never a full-table dict (resolved ids
+land in a small capped cache). The full-scan fallback only applies to
+row groups whose stats are missing.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions import codec, hashing
@@ -42,12 +48,21 @@ class HotSearcher:
     """Answer single BM25 queries from a built index dir without Spark."""
 
     def __init__(self, index_dir: str, n_buckets: int = 64,
-                 max_cached_buckets: int = 64):
+                 max_cached_buckets: int = 64,
+                 max_cached_doc_ids: int = 65536):
         self.index_dir = index_dir
         self.n_buckets = n_buckets
         self.max_cached_buckets = max_cached_buckets
+        self.max_cached_doc_ids = max_cached_doc_ids
         self._buckets: dict[int, dict[str, list[dict]]] = {}
-        self._doc_ids: dict[int, str] | None = None
+        self._doc_id_cache: dict[int, str] = {}
+        self._docs_files: list[pq.ParquetFile] | None = None
+        # row-group pruning observability (asserted by tests): the docs
+        # table is never materialized whole — only stat-matching row
+        # groups are read per top-k resolution
+        self.docs_rowgroups_total = 0
+        self.docs_rowgroups_read = 0
+        self.docs_rows_read = 0
         if not hashing.self_check():  # pragma: no cover - canary
             raise RuntimeError("xxhash64 twin failed its canary check")
 
@@ -72,15 +87,56 @@ class HotSearcher:
         self._buckets[bucket] = out
         return out
 
-    def _doc_id_of(self, doc_idx: int) -> str:
-        if self._doc_ids is None:
-            table = pq.read_table(
-                os.path.join(self.index_dir, "docs"), columns=["doc_id"])
-            self._doc_ids = {
-                int(d[:15], 16): d
-                for d in table.column("doc_id").to_pylist()
-            }
-        return self._doc_ids[doc_idx]
+    def _doc_parquet_files(self) -> list[pq.ParquetFile]:
+        if self._docs_files is None:
+            paths = sorted(glob.glob(
+                os.path.join(self.index_dir, "docs", "*.parquet")))
+            self._docs_files = [pq.ParquetFile(p) for p in paths]
+            self.docs_rowgroups_total = sum(
+                f.metadata.num_row_groups for f in self._docs_files)
+        return self._docs_files
+
+    def _doc_ids_of(self, doc_idxs: list[int]) -> dict[int, str]:
+        """doc_idx → doc_id for ≤ k result ids, via row-group-pruned
+        parquet reads (bounded memory at any corpus size).
+
+        ``doc_idx`` is the integer value of the doc_id's first 15 hex
+        chars (operators/postings._doc_idx), so the matching doc_ids
+        for idx i are exactly the strings in [hex15(i), hex15(i)+"g").
+        The build sorts the docs stage by doc_id within partitions, so
+        parquet min/max column statistics prune to O(k) row groups; a
+        row group with no doc_id stats is read (correct, just unpruned).
+        Resolved ids are cached (capped dict — the working set of an
+        interactive session, not the corpus)."""
+        missing = [i for i in doc_idxs if i not in self._doc_id_cache]
+        if not missing:
+            return self._doc_id_cache
+        prefixes = sorted(format(i, "015x") for i in set(missing))
+        pref_set = set(prefixes)
+        for pf in self._doc_parquet_files():
+            md = pf.metadata
+            col_idx = md.schema.to_arrow_schema().names.index("doc_id")
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(col_idx).statistics
+                if stats is not None and stats.has_min_max:
+                    lo, hi = stats.min, stats.max
+                    # any wanted range [p, p+"g") intersecting [lo, hi]?
+                    if not any(p <= hi and lo < p + "g" for p in prefixes):
+                        continue
+                tbl = pf.read_row_group(rg, columns=["doc_id"])
+                self.docs_rowgroups_read += 1
+                self.docs_rows_read += tbl.num_rows
+                ids = tbl.column("doc_id")
+                mask = pc.is_in(pc.utf8_slice_codeunits(ids, 0, 15),
+                                value_set=pa.array(prefixes))
+                for d in ids.filter(mask).to_pylist():
+                    if d[:15] in pref_set:
+                        self._doc_id_cache[int(d[:15], 16)] = d
+        if len(self._doc_id_cache) > self.max_cached_doc_ids:
+            keep = set(doc_idxs)
+            self._doc_id_cache = {
+                i: d for i, d in self._doc_id_cache.items() if i in keep}
+        return self._doc_id_cache
 
     # -- query --------------------------------------------------------------
 
@@ -129,5 +185,5 @@ class HotSearcher:
         # inside the hot tier's driver-RAM bound anyway.
         order = np.lexsort((uniq, -sums))
         top = order[:top_k]
-        return [(self._doc_id_of(int(uniq[i])), float(sums[i]))
-                for i in top]
+        id_map = self._doc_ids_of([int(uniq[i]) for i in top])
+        return [(id_map[int(uniq[i])], float(sums[i])) for i in top]

@@ -107,13 +107,15 @@ class SearchService:
     def search(self, query: str, top_k: int = 20,
                retrieval_method: str = "bm25",
                diversity: float | None = None,
-               spell_correct: bool = False) -> list[dict]:
+               spell_correct: bool = True) -> list[dict]:
         """views.py:33-61 semantics. ``diversity`` ∈ [0,1] triggers MMR
         reranking with relevance_importance = 1 − diversity and
         consider=len(results), exactly the endpoint's parameters.
-        ``spell_correct`` opts into the vocabulary-based correction pass
-        (off by default: the parity-tested query path matches the
-        oracle, which replicates the reference minus pyspellchecker)."""
+        ``spell_correct`` defaults ON to mirror the reference's
+        always-on pyspellchecker pass (Tokenizer.py:36-41) — the vocab
+        corrector is identity for in-vocabulary words, so parity-tested
+        queries are unaffected; pass False to opt out (e.g. exact-term
+        debugging)."""
         if spell_correct:
             query = self.correct_query(query)
         method = retrieval_method.lower()

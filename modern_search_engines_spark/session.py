@@ -23,6 +23,15 @@ def get_spark(app_name: str = "modern-search-engines-spark",
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    jvm_opts = "-XX:+UseParallelGC"
+    # scoped logging config (Spark defaults + a deny filter for the
+    # benign PythonAccumulatorV2 update-race stack traces — see the file
+    # header). Only when the packaged file exists on the driver's disk:
+    # inside a --py-files zip it does not, and Spark's defaults apply.
+    log_conf = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "conf", "log4j2.properties")
+    if os.path.exists(log_conf):
+        jvm_opts += f" -Dlog4j2.configurationFile=file:{log_conf}"
     b = (
         SparkSession.builder.appName(app_name).master(master)
         # -- local-mode heap: everything (driver+executors) lives in one
@@ -33,7 +42,7 @@ def get_spark(app_name: str = "modern-search-engines-spark",
         # -- throughput GC: G1's GCLocker stalls serialize 32 allocation-
         #    heavy task threads + Arrow native I/O in one local JVM;
         #    ParallelGC measured ~2x faster on the full index build
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         # -- determinism
         .config("spark.sql.session.timeZone", "UTC")

@@ -140,7 +140,8 @@ class StageWriter:
                     partition_by: list[str] | None = None,
                     sort_within: list[str] | None = None,
                     inputs: tuple[str, ...] = (),
-                    params: dict | None = None) -> DataFrame:
+                    params: dict | None = None,
+                    pre_partitioned: bool = False) -> DataFrame:
         """Write (or resume) one stage; returns the stage read back from
         disk so downstream plans scan the materialized table (a real
         shuffle/lineage barrier, like the reference's per-stage pickles).
@@ -148,6 +149,11 @@ class StageWriter:
         ``params`` records build knobs that change the stage's CONTENT
         without changing its schema (e.g. use_doc2query) — a param
         mismatch forces a rebuild on resume.
+
+        ``pre_partitioned`` declares that ``df``'s plan already
+        co-locates each ``partition_by`` value (e.g. it ends in a
+        repartition/aggregate keyed by it) — the writer then skips its
+        own repartition instead of shuffling the rows a second time.
         """
         final, tmp, mpath = self._paths(name)
         lineage = self.lineage_of(*inputs)
@@ -188,7 +194,7 @@ class StageWriter:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
 
-        if partition_by:
+        if partition_by and not pre_partitioned:
             # co-locate each partition value on one task before the
             # partitioned write — otherwise every shuffle partition opens a
             # file in every partition dir (64 tasks x 64 buckets = 4096

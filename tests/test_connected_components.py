@@ -85,6 +85,49 @@ def test_string_ids_order_lexicographically(spark):
                    "yy": "yy", "zz": "yy"}
 
 
+def test_giant_component_spanning_90pct_converges_correctly(spark):
+    """One component covering 90% of nodes (the mega-key case: its min
+    label becomes the hottest join key in late rounds) must converge in
+    the O(log² n) bound and label every member with the global min —
+    exercised THROUGH the hot-key broadcast split (hot_key_rows=64, so
+    the giant component's hub key takes the broadcast branch every
+    round)."""
+    n = 2000
+    giant = [(i, i + 1) for i in range(int(n * 0.9) - 1)]  # 1800-chain
+    rest = [(k, k + 1) for k in range(int(n * 0.9), n - 1, 2)]
+    df = spark.createDataFrame(giant + rest, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(
+               df, hot_key_rows=64).collect()}
+    want = _union_find(giant + rest)
+    assert got == want
+    assert sum(1 for c in got.values() if c == 0) == int(n * 0.9)
+    # and the default path agrees
+    assert _cc_spark(spark, giant + rest) == want
+
+
+def test_cc_hot_min_join_broadcasts_hot_keys(spark):
+    """The skewed shape inside a CC round is the min-label join where a
+    mega-component hub key holds most rows. AQE's skew-join CANNOT
+    split it (its rule needs two bare shuffle stages under the SMJ; the
+    mins side aggregates after its shuffle — verified empirically), so
+    ``_skew_safe_min_join`` must route hot keys through a broadcast
+    branch — asserted on the plan — and return exactly the plain join's
+    rows."""
+    hub = spark.createDataFrame(
+        [(0, i) for i in range(1, 3000)] +
+        [(j, j + 1) for j in range(1, 64)], "u long, v long")
+    mins = hub.groupBy("u").agg(F.min("v").alias("m"),
+                                F.count(F.lit(1)).alias("n"))
+    safe = dedup._skew_safe_min_join(hub, mins, "u", hot_cap=100)
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    want = sorted(tuple(r) for r in hub.join(mins.drop("n"), "u")
+                  .select("u", "v", "m").collect())
+    got = sorted(tuple(r) for r in safe.select("u", "v", "m").collect())
+    assert got == want
+
+
 def test_transitive_clean_keeps_one_survivor_per_component(spark):
     # ids 1 < 2 < 3. doc3 is a shared core; docs 1 and 2 extend it with
     # disjoint 6-token tails: 10 shared trigrams of 16 each, so

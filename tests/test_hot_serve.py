@@ -66,3 +66,40 @@ def test_hot_latency_is_driver_side(index_dir):
 def test_hot_absent_terms(index_dir):
     hot = HotSearcher(index_dir)
     assert hot.search("zzqqxx absent", top_k=5) == []
+
+
+def test_hot_doc_id_lookup_is_rowgroup_pruned(index_dir, tmp_path):
+    """The doc_idx→doc_id resolution must NEVER materialize the docs
+    table: with a doc_id-sorted docs file split into many row groups,
+    a top-k search reads only the stat-matching groups and O(k) rows."""
+    import glob
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    idx2 = str(tmp_path / "idx2")
+    shutil.copytree(index_dir, idx2)
+    docs_dir = f"{idx2}/docs"
+    table = pq.read_table(docs_dir)
+    table = table.sort_by("doc_id")
+    for f in glob.glob(f"{docs_dir}/*.parquet"):
+        import os
+        os.remove(f)
+    pq.write_table(table, f"{docs_dir}/part-rewrite.parquet",
+                   row_group_size=4)
+
+    hot = HotSearcher(idx2)
+    got = hot.search(QUERIES[0], top_k=5)
+    baseline = HotSearcher(index_dir).search(QUERIES[0], top_k=5)
+    assert got == baseline
+    n_docs = table.num_rows
+    assert hot.docs_rowgroups_total >= n_docs // 4
+    # ≤ k groups actually read (one per result id, often fewer),
+    # never the whole table
+    assert 0 < hot.docs_rowgroups_read <= 5
+    assert hot.docs_rows_read <= 5 * 4
+    # repeat query: served from the resolved-id cache, zero new reads
+    before = hot.docs_rowgroups_read
+    assert hot.search(QUERIES[0], top_k=5) == got
+    assert hot.docs_rowgroups_read == before

@@ -1,15 +1,17 @@
 """PageRank power iteration (operators/linkgraph.py) vs a numpy oracle
-implementing the identical recurrence (fixed iterations, no dangling
-redistribution — dangling mass leaks in both, as documented)."""
+implementing the identical recurrence — both with the default leaking
+dangling mass and with ``redistribute_dangling=True`` (textbook
+dangling-sum correction; ranks then sum to 1)."""
 
 import random
 
 import numpy as np
+import pytest
 
 from modern_search_engines_spark.operators import linkgraph
 
 
-def _np_pagerank(n, edges, iters=10, d=0.85):
+def _np_pagerank(n, edges, iters=10, d=0.85, redistribute=False):
     deg = np.zeros(n)
     for s, _ in edges:
         deg[s] += 1
@@ -18,14 +20,15 @@ def _np_pagerank(n, edges, iters=10, d=0.85):
         c = np.zeros(n)
         for s, t in edges:
             c[t] += r[s] / deg[s]
-        r = (1.0 - d) / n + d * c
+        extra = d * r[deg == 0].sum() / n if redistribute else 0.0
+        r = (1.0 - d) / n + extra + d * c
     return r
 
 
-def _spark_pagerank(spark, n, edges, iters=10):
+def _spark_pagerank(spark, n, edges, iters=10, **kw):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     edf = spark.createDataFrame(edges, "src long, dst long")
-    out = linkgraph.pagerank(nodes, edf, iters=iters).collect()
+    out = linkgraph.pagerank(nodes, edf, iters=iters, **kw).collect()
     got = np.zeros(n)
     for row in out:
         got[row["doc_id"]] = row["rank"]
@@ -53,6 +56,32 @@ def test_random_graph_matches_numpy(spark):
     # no-in-link node holds exactly the teleport mass
     assert abs(got[0] - 0.15 / n) < 1e-12
     assert n - 1 not in srcs  # the dangling node really dangles
+
+
+def test_dangling_redistribution_matches_numpy_and_sums_to_one(spark):
+    rng = random.Random(7)
+    n = 25
+    edges = sorted({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(50)})
+    # plant several dangling nodes
+    edges = [(s, t) for s, t in edges if s not in (n - 1, n - 2, n - 3)]
+    got = _spark_pagerank(spark, n, edges, redistribute_dangling=True)
+    want = _np_pagerank(n, edges, redistribute=True)
+    assert np.allclose(got, want, atol=1e-9)
+    assert got.sum() == pytest.approx(1.0, abs=1e-9)  # no mass leak
+    # and the default still matches the leaking recurrence
+    got_leak = _spark_pagerank(spark, n, edges)
+    assert np.allclose(got_leak, _np_pagerank(n, edges), atol=1e-9)
+    assert got_leak.sum() < 1.0 - 1e-6
+
+
+def test_validate_rejects_orphan_edge_endpoints(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    edges = spark.createDataFrame([(0, 1), (1, 7)], "src long, dst long")
+    with pytest.raises(ValueError, match="edge endpoint"):
+        linkgraph.pagerank(nodes, edges, iters=2, validate=True)
+    # without validation the documented drop semantics apply, no error
+    assert linkgraph.pagerank(nodes, edges, iters=2).count() == 3
 
 
 def test_hub_attracts_rank(spark):

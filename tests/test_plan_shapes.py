@@ -93,6 +93,23 @@ def test_doc_colocated_joins_one_exchange(spark, tmp_path):
     assert "CartesianProduct" not in plan
 
 
+def test_compressed_postings_two_exchanges(spark):
+    """The posting merge must shuffle exactly twice: once on the salted
+    (term, bucket, salt) key (head-term skew spread) and once on bucket —
+    phase 2's groupBy(term,bucket) and the partitioned write both reuse
+    the bucket exchange (hash(bucket) satisfies their clustering)."""
+    from modern_search_engines_spark.operators import postings
+
+    # exchange-free flat-postings input isolates the merge subplan
+    flat = spark.createDataFrame(
+        [(f"t{i % 7}", f"{i:032x}", float(i)) for i in range(50)],
+        "term string, doc_id string, score double")
+    comp = postings.build_compressed_postings(flat)
+    plan = _plan(comp)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"{n_exchanges} exchanges:\n{plan}"
+
+
 def test_clean_pipeline_plan_shapes(spark):
     """Cleaning pipeline (plans/clean.py): the hot-shingle guard must be
     a BROADCAST anti-join (the hot list is tiny by definition), and the

@@ -75,14 +75,15 @@ def test_batch_summaries_length_gate(service):
             assert isinstance(d["summary"], str) and d["summary"]
 
 
-def test_spell_corrected_search_recovers_typo(service):
+def test_spell_corrected_search_recovers_typo_by_default(service):
     good = service.search("castle", top_k=5)
-    typo_plain = service.search("casle", top_k=5)
-    typo_fixed = service.search("casle", top_k=5, spell_correct=True)
-    # uncorrected single-term typo matches no posting list at all
-    assert good and typo_plain == []
-    # corrected query reproduces the clean query exactly (ids + scores)
-    assert [(d["url_hash"], d["score"]) for d in typo_fixed] == \
+    typo_default = service.search("casle", top_k=5)  # correction is ON
+    typo_off = service.search("casle", top_k=5, spell_correct=False)
+    # opt-out: the raw typo matches no posting list at all
+    assert good and typo_off == []
+    # default: the misspelled query reproduces the clean query exactly
+    # (ids + scores) — the reference's always-on corrector, mirrored
+    assert [(d["url_hash"], d["score"]) for d in typo_default] == \
         [(d["url_hash"], d["score"]) for d in good]
     assert service.correct_query("casle") == "castle"
 

@@ -36,3 +36,61 @@ def test_stateful_sessionization_matches_batch(spark, sf_dirs, tmp_path):
     want = {r["user_id"]: (r["n_sessions"], r["n_events"])
             for r in batch.collect()}
     assert got == want
+
+
+def test_sessionization_exact_across_out_of_order_microbatches(
+        spark, tmp_path):
+    """One user's events split OUT OF ORDER across 3 micro-batches
+    (middle first, then the head arriving 'late' within the watermark,
+    then the tail) must still produce exactly the batch lag-window
+    totals — the in-state buffer + watermark finalization at work."""
+    import glob
+    import os
+    import shutil
+
+    base = 1_700_000_000  # any fixed epoch anchor
+    mins = lambda m: base + m * 60  # noqa: E731
+
+    def ev(eid, user, m):
+        return (eid, user, mins(m))
+
+    # user 100: minutes 0,10 | 80,90 | 200,210 → 3 sessions, 6 events
+    batches = [
+        [ev(3, 100, 80), ev(4, 100, 90), ev(10, 200, 5)],   # middle first
+        [ev(1, 100, 0), ev(2, 100, 10), ev(5, 100, 200)],   # head late
+        [ev(6, 100, 210), ev(11, 200, 300)],                # tail
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(eid, u, t) for eid, u, t in rows],
+            "event_id long, user_id long, epoch long"
+        ).select("event_id", "user_id",
+                 F.col("epoch").cast("timestamp").alias("ts"))
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = str(src / f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = sessions.sessionize_stream(stream, watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("sess_ooo")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "cp_ooo"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3  # it really ran as ≥3 micro-batches
+
+    updates = spark.table("sess_ooo")
+    w = Window.partitionBy("user_id").orderBy(
+        F.monotonically_increasing_id().desc())
+    final = (updates.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1))
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in final.collect()}
+    assert got == {100: (3, 6), 200: (2, 2)}
