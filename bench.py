@@ -242,6 +242,23 @@ def main() -> None:
             shutil.rmtree(os.path.join(work, f"idx{tag}"),
                           ignore_errors=True)
 
+        # legacy-protocol datapoint: ONE local[4] build with the flat
+        # bm25_postings stage materialized (the round-1 build shape) so
+        # cross-round BASELINE.md rows stay directly comparable despite
+        # the fused-build/min-of-3 protocol change in round 2
+        spark = get_spark("bench-legacy4", master="local[4]",
+                          shuffle_partitions=16)
+        try:
+            t0 = time.time()
+            build_persistent_index(spark, spark.read.parquet(pages_path),
+                                   os.path.join(work, "idxleg"),
+                                   verbose=False, materialize_bm25=True)
+            queries["index_docs_per_sec_local4_materialized"] = round(
+                n_pages / (time.time() - t0), 1)
+        finally:
+            spark.stop()
+            shutil.rmtree(os.path.join(work, "idxleg"), ignore_errors=True)
+
         # -- 2. query latency over the built index -----------------------
         spark = get_spark("bench-query", master="local[16]",
                           shuffle_partitions=32)

@@ -286,6 +286,19 @@ def q_dedup_minhash_lsh(spark, sf):
                                    n_hashes=N_MINHASH, n_bands=N_BANDS)
 
 
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (the fifth dedup family member):
+    sign-bit LSH banding (8 bands × 8 components) for candidates, exact
+    cosine ≥ 0.42 verify inside — shuffle by band bucket, never
+    all-pairs (candidates measured 3.1% of the 124,750 possible pairs
+    at sf0.01). Cosines rounded to 6dp so both engines agree on
+    boundary pairs."""
+    from .operators import similarity
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return similarity.embedding_near_dups(
+        emb, threshold=0.42, n_bands=8, band_bits=8, round_to=6)
+
+
 def q_embedding_cosine_topk(spark, sf):
     """Brute-force cosine top-20 vs the vec_id=0 query vector
     (similarity-search baseline)."""
@@ -908,6 +921,30 @@ sig AS (SELECT doc_id, {_minhash_cols} FROM sh GROUP BY doc_id),
 bands AS ({_band_rows})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+_ORACLE["dedup_embedding_cosine"] = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+bands AS (
+    SELECT vec_id,
+           j || '|' || array_to_string(
+               list_transform(generate_series(j*8+1, (j+1)*8),
+                   i -> CASE WHEN embedding[i] >= 0
+                             THEN '1' ELSE '0' END), '') AS band
+    FROM e, (SELECT unnest(generate_series(0, 7)) AS j)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 6) AS cos
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                   eb.embedding::DOUBLE[]), 6) >= 0.42
 """
 
 _ORACLE["embedding_cosine_topk"] = """
@@ -1542,6 +1579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "link_pagerank": q_link_pagerank,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,

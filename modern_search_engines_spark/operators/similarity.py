@@ -7,6 +7,10 @@
   query's bucket (+ optional multi-probe neighbors at Hamming distance 1),
   exact cosine verify inside. The scale path: the scan prunes to matching
   buckets (partition column when persisted).
+* embedding_near_dups — pairwise cosine near-duplicate detection via
+  sign-bit LSH BANDING (the all-pairs analog of lsh_topk): candidates
+  are pairs agreeing on every bit of ≥1 band, verified with exact
+  cosine. Shuffles by band bucket — never a cross join.
 """
 
 from __future__ import annotations
@@ -65,6 +69,69 @@ def lsh_topk(emb: DataFrame, qvec: list[float], k: int = 10,
               .where(F.col("bucket").isin(buckets))
               .select("vec_id", _cos_expr(qvec).alias("cos")))
     return ranked_topk(scored, _order(), k, key_col="vec_id")
+
+
+def _cos_pair_expr(ea, eb):
+    """cosine(ea, eb) for two array columns — JVM higher-order folds."""
+    a = F.transform(ea, lambda x: x.cast("double"))
+    b = F.transform(eb, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
+                        n_bands: int = 8, band_bits: int = 8,
+                        id_col: str = "vec_id",
+                        round_to: int | None = None) -> DataFrame:
+    """(vec_a, vec_b, cos) — pairs with cosine ≥ ``threshold``;
+    vec_a < vec_b always. The embedding-cosine member of the dedup
+    family (exact / minhash / simhash / jaccard / embedding).
+
+    Candidates: band ``j`` of a vector is the sign-bit string of
+    components ``[j·band_bits, (j+1)·band_bits)``; a pair is a candidate
+    iff it agrees on EVERY bit of at least one band (random-hyperplane
+    model: a bit agrees w.p. 1 − θ/π, so a band of b bits agrees w.p.
+    ≈ (1 − θ/π)^b and B bands give recall ≈ 1 − (1 − p_band)^B — tune
+    (n_bands, band_bits) to the threshold). Precision is EXACT (every
+    candidate is verified with true cosine); recall is the banding
+    probability — same contract as MinHash-LSH in ``operators/dedup``.
+
+    Scale shape: explode to (vector, band) rows, self-join on the band
+    bucket, verify inside. One shuffle keyed by band bucket — candidate
+    work is Σ bucket² over ACTUAL collisions, never the corpus². At
+    10⁹+ vectors raise ``band_bits`` (bucket count 2^band_bits) the way
+    simhash_near_dups raises its band width, or pre-partition by a
+    band-prefix column on disk.
+
+    ``round_to`` rounds the verified cosine before thresholding (set it
+    when a cross-engine twin must agree on boundary pairs)."""
+    banded = emb.select(
+        F.col(id_col).alias("vid"), "embedding",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{j}|"), *[
+                F.when(F.element_at("embedding",
+                                    j * band_bits + i) >= 0,
+                       F.lit("1")).otherwise(F.lit("0"))
+                for i in range(1, band_bits + 1)])
+            for j in range(n_bands)])).alias("band"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.vid") < F.col("b.vid")))
+            .select(F.col("a.vid").alias("vec_a"),
+                    F.col("b.vid").alias("vec_b"),
+                    F.col("a.embedding").alias("ea"),
+                    F.col("b.embedding").alias("eb"))
+            .dropDuplicates(["vec_a", "vec_b"]))
+    cos = _cos_pair_expr(F.col("ea"), F.col("eb"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (cand.select("vec_a", "vec_b", cos.alias("cos"))
+            .where(F.col("cos") >= threshold))
 
 
 def train_ivf(emb: DataFrame, n_lists: int = 16, seed: int = 7):

@@ -104,11 +104,42 @@ def word_tokenize(text: str) -> list[str]:
 # (Tokenizer.py:15,22). Rules applied in order; first match wins. No
 # dictionary validation (WordNet unavailable) — documented divergence.
 _LEMMA_EXCEPTIONS = {
+    # Germanic irregulars
     "men": "man", "women": "woman", "children": "child", "feet": "foot",
-    "teeth": "tooth", "geese": "goose", "mice": "mouse", "people": "person",
+    "teeth": "tooth", "geese": "goose", "mice": "mouse", "lice": "louse",
+    "people": "person", "oxen": "ox", "dice": "die",
+    # -f/-fe → -ves (the suffix rules cannot recover the f)
     "leaves": "leaf", "lives": "life", "wives": "wife", "knives": "knife",
-    "data": "datum", "criteria": "criterion", "indices": "index",
-    "matrices": "matrix", "analyses": "analysis", "theses": "thesis",
+    "halves": "half", "selves": "self", "shelves": "shelf",
+    "calves": "calf", "loaves": "loaf", "scarves": "scarf",
+    "thieves": "thief", "wolves": "wolf", "elves": "elf",
+    "hooves": "hoof",
+    # -o → -oes (plain s-strip would leave a trailing e)
+    "potatoes": "potato", "tomatoes": "tomato", "heroes": "hero",
+    "echoes": "echo", "torpedoes": "torpedo", "vetoes": "veto",
+    "mosquitoes": "mosquito", "volcanoes": "volcano",
+    "tornadoes": "tornado", "buffaloes": "buffalo", "mangoes": "mango",
+    "cargoes": "cargo",
+    # Latin/Greek plurals
+    "data": "datum", "criteria": "criterion", "phenomena": "phenomenon",
+    "bacteria": "bacterium", "curricula": "curriculum",
+    "memoranda": "memorandum", "strata": "stratum", "media": "medium",
+    "millennia": "millennium", "corpora": "corpus", "genera": "genus",
+    "quanta": "quantum", "spectra": "spectrum", "automata": "automaton",
+    "schemata": "schema",
+    "fungi": "fungus", "alumni": "alumnus", "cacti": "cactus",
+    "nuclei": "nucleus", "radii": "radius", "stimuli": "stimulus",
+    "syllabi": "syllabus", "foci": "focus",
+    "larvae": "larva", "algae": "alga", "antennae": "antenna",
+    "formulae": "formula", "nebulae": "nebula", "vertebrae": "vertebra",
+    "indices": "index", "matrices": "matrix", "appendices": "appendix",
+    "vertices": "vertex", "vortices": "vortex",
+    "analyses": "analysis", "theses": "thesis", "crises": "crisis",
+    "oases": "oasis", "diagnoses": "diagnosis",
+    "hypotheses": "hypothesis", "parentheses": "parenthesis",
+    "synopses": "synopsis",
+    # high-frequency -ies words kept from the original table ("ies"→"y"
+    # handles them too; pinned so a rule reshuffle can't change them)
     "cities": "city", "queries": "query", "entries": "entry",
 }
 
