@@ -612,6 +612,65 @@ def q_token_count_regex(spark, sf):
         .cast("long").alias("n_word_tokens"))
 
 
+def q_line_dedup(spark, sf):
+    """C4-style corpus-level line dedup (keep the corpus-wide FIRST
+    occurrence of every line, reassemble docs). The synthetic documents
+    carry no newlines, so lines are fixed 4-token windows
+    (``chunk_tokens_expr``) — the dedup semantics are granularity-
+    independent. clean_md5 stands in for the rebuilt text so the
+    compare moves hashes, not documents."""
+    from .operators import linededup
+    d = _docs(spark, sf)
+    out = linededup.line_dedup(
+        d, lines_expr=linededup.chunk_tokens_expr(F.col("text"), 4),
+        sep=" ")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        "n_lines", "n_kept")
+
+
+def q_pii_scrub(spark, sf):
+    """PII scrubbing (email → ipv4 → ssn → phone, sequential counts +
+    placeholder replacement). The synthetic text contains no PII, so
+    each doc gets a deterministic PII suffix synthesized from doc_id —
+    identically in both engines — before scrubbing."""
+    from .operators import pii
+    did = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (did % 256).cast("string"), F.lit(".17"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" ssn 123-45-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+        F.when(did % 2 == 0,
+               F.concat(F.lit(" call +1 555 867 53"),
+                        F.lpad((did % 100).cast("string"), 2, "0"))
+               ).otherwise(F.lit("")))
+    planted = _docs(spark, sf).select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    out = pii.scrub_pii(planted)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        "n_email", "n_ipv4", "n_ssn", "n_phone")
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic per-source hash sampling (training-data mixing):
+    even sources 50%, odd sources 25%, src0 pinned to 100%. Membership
+    is md5(salt||doc_id)-based — exact row set reproduced by the SQL
+    twin, proving cross-engine determinism."""
+    from .operators import sampling
+    rates = {f"src{i}": (1.0 if i == 0 else 0.5 if i % 2 == 0 else 0.25)
+             for i in range(20)}
+    return sampling.stratified_sample(
+        _docs(spark, sf), rates, strata_col="source",
+        key_col="doc_id", salt="mix1").select("doc_id", "source")
+
+
 def q_events_agg(spark, sf):
     """Windowed-aggregation analog over the events table."""
     ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -1450,6 +1509,109 @@ SELECT doc_id, len(regexp_extract_all(text, '\w+'))::BIGINT AS n_word_tokens
 FROM documents
 """
 
+# line_dedup twin: reproduce chunk_tokens_expr (4-token pseudo-lines),
+# first-occurrence per md5(line) via row_number (the Spark side uses a
+# map-side-combinable min-struct agg — same winner by (doc_id, idx)),
+# then reassemble in original order and hash the rebuilt text.
+_ORACLE["line_dedup"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+chunked AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0 THEN
+               list_transform(
+                   range(0, CAST(ceil(len(toks) / 4.0) AS INT)),
+                   j -> array_to_string(
+                            list_slice(toks, j * 4 + 1, j * 4 + 4), ' '))
+           ELSE [] END AS lines
+    FROM t
+),
+lines AS (
+    SELECT doc_id AS did,
+           generate_subscripts(lines, 1) AS idx,
+           unnest(lines) AS line
+    FROM chunked
+),
+win AS (
+    SELECT did, idx, line,
+           row_number() OVER (PARTITION BY md5(line)
+                              ORDER BY did, idx) AS rn
+    FROM lines
+),
+stats AS (SELECT did, count(*) AS n_lines FROM lines GROUP BY did),
+rebuilt AS (
+    SELECT did, count(*) AS n_kept,
+           string_agg(line, ' ' ORDER BY idx) AS clean_text
+    FROM win WHERE rn = 1 GROUP BY did
+)
+SELECT d.doc_id,
+       md5(coalesce(r.clean_text, '')) AS clean_md5,
+       coalesce(s.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept
+FROM documents d
+LEFT JOIN stats s ON s.did = d.doc_id
+LEFT JOIN rebuilt r ON r.did = d.doc_id
+"""
+
+
+def _pii_sql() -> str:
+    """PII twin: the planted suffix, then the PII_RULES chain applied in
+    order as chained CTEs — each count taken on the text as left by the
+    previous scrub, exactly the Spark operator's contract. Patterns are
+    interpolated from operators.pii.PII_RULES (single source of truth;
+    the RE2/Java-common subset is a documented constraint there)."""
+    from .operators.pii import PII_RULES
+    steps = ["""
+t0 AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com from 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' ssn 123-45-' ||
+                             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END
+                || CASE WHEN doc_id % 2 = 0
+                        THEN ' call +1 555 867 53' ||
+                             lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                        ELSE '' END AS s
+    FROM documents
+)"""]
+    prev = "t0"
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_RULES, start=1):
+        lit = pat.replace("'", "''")
+        cols = ", ".join(carried) + (", " if carried else "")
+        steps.append(f"""
+t{i} AS (
+    SELECT doc_id, {cols}
+           len(regexp_extract_all(s, '{lit}'))::BIGINT AS n_{name},
+           regexp_replace(s, '{lit}', '{repl}', 'g') AS s
+    FROM {prev}
+)""")
+        carried.append(f"n_{name}")
+        prev = f"t{i}"
+    names = ", ".join(carried)
+    return (f"WITH {','.join(steps)}\n"
+            f"SELECT doc_id, md5(s) AS clean_md5, {names} FROM {prev}")
+
+
+_ORACLE["pii_scrub"] = _pii_sql()
+
+# stratified_sample twin: identical md5-prefix membership rule — src0
+# kept at 100% ('g' sorts above every hex digit), even sources 50%
+# (< '80000000'), odd 25% (< '40000000').
+_ORACLE["stratified_sample"] = """
+SELECT doc_id, source FROM documents
+WHERE substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN source = 'src0' THEN 'g'
+           WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '80000000'
+           ELSE '40000000' END
+"""
+
 _ORACLE["events_agg"] = """
 SELECT event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
 FROM events GROUP BY event_type
@@ -1599,6 +1761,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id_heuristic": q_lang_id_heuristic,
     "token_count_regex": q_token_count_regex,
+    "line_dedup": q_line_dedup,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
     "events_agg": q_events_agg,
     "events_user_topk": q_events_user_topk,
     "events_sessions": q_events_sessions,
