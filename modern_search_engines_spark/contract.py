@@ -671,6 +671,37 @@ def q_stratified_sample(spark, sf):
         key_col="doc_id", salt="mix1").select("doc_id", "source")
 
 
+def q_decontam_hits(spark, sf):
+    """Benchmark decontamination: flag every training doc sharing a
+    6-token n-gram with a synthetic 'benchmark' set (tokens 3..10 of
+    every 97th doc — so contamination provably exists and both engines
+    derive the identical eval set)."""
+    from .operators import decontam
+    d = _docs(spark, sf)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ev = (d.where(F.col("doc_id") % 97 == 0)
+          .select(F.concat_ws(" ", F.slice(toks, 3, 8)).alias("text")))
+    return decontam.find_contaminated(d, ev, n=6)
+
+
+def q_pack_sequences(spark, sf):
+    """GPT-style sequence packing manifest at seq_len=64: every
+    (sequence, doc-span) row. The scale-safe two-phase global cumsum
+    must reproduce the single-window SQL twin exactly."""
+    from .operators import packing
+    return packing.pack_sequences(_docs(spark, sf), seq_len=64)
+
+
+def q_cap_per_source(spark, sf):
+    """Per-domain quota (C4-style head-domain flattening): at most 8
+    docs per source, the 8 smallest by deterministic hash — two-phase
+    exact rank on the Spark side vs the plain window twin."""
+    from .operators import sampling
+    return sampling.cap_per_stratum(
+        _docs(spark, sf), cap=8, strata_col="source",
+        key_col="doc_id", salt="cap1").select("doc_id", "source")
+
+
 def q_events_agg(spark, sf):
     """Windowed-aggregation analog over the events table."""
     ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -1612,6 +1643,83 @@ WHERE substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) <
            ELSE '40000000' END
 """
 
+# decontamination twin: identical eval-set derivation (tokens 3..10 of
+# every 97th doc), identical 6-gram md5 keys, semi-join + distinct count
+_ORACLE["decontam_hits"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(toks) - 5, 0) + 1),
+               i -> md5(array_to_string(list_slice(toks, i, i + 5), ' '))))
+           AS gram
+    FROM t
+),
+ev AS (
+    SELECT DISTINCT
+           unnest(list_transform(
+               range(1, greatest(len(list_slice(toks, 3, 10)) - 5, 0) + 1),
+               i -> md5(array_to_string(
+                        list_slice(list_slice(toks, 3, 10), i, i + 5),
+                        ' ')))) AS gram
+    FROM t WHERE doc_id % 97 = 0
+)
+SELECT doc_id, count(DISTINCT gram)::BIGINT AS n_hits
+FROM grams WHERE gram IN (SELECT gram FROM ev)
+GROUP BY doc_id
+"""
+
+# packing twin: the naive single-window global cumsum (fine at sf0.01;
+# the Spark side's two-phase cumsum must land every doc at the same
+# global offset), then the span arithmetic row-for-row
+_ORACLE["pack_sequences"] = """
+WITH t AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tok
+    FROM documents
+),
+nz AS (SELECT * FROM t WHERE n_tok > 0),
+p AS (
+    SELECT doc_id, n_tok,
+           coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS g0
+    FROM nz
+),
+x AS (
+    SELECT doc_id, n_tok, g0,
+           unnest(range(g0 // 64, (g0 + n_tok - 1) // 64 + 1)) AS seq_id
+    FROM p
+)
+SELECT seq_id, doc_id,
+       greatest(seq_id * 64 - g0, 0)::BIGINT AS doc_tok_begin,
+       least((seq_id + 1) * 64 - g0, n_tok)::BIGINT AS doc_tok_end,
+       greatest(g0 - seq_id * 64, 0)::BIGINT AS seq_tok_begin
+FROM x
+"""
+
+# per-source cap twin: the plain window rank the Spark two-phase
+# implementation must reproduce exactly
+_ORACLE["cap_per_source"] = """
+WITH k AS (
+    SELECT doc_id, source,
+           substring(md5('cap1' || CAST(doc_id AS VARCHAR)), 1, 8) AS sk
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY sk, doc_id)
+           AS rk
+    FROM k
+)
+SELECT doc_id, source FROM r WHERE rk <= 8
+"""
+
 _ORACLE["events_agg"] = """
 SELECT event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
 FROM events GROUP BY event_type
@@ -1764,6 +1872,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
+    "decontam_hits": q_decontam_hits,
+    "pack_sequences": q_pack_sequences,
+    "cap_per_source": q_cap_per_source,
     "events_agg": q_events_agg,
     "events_user_topk": q_events_user_topk,
     "events_sessions": q_events_sessions,

@@ -47,6 +47,15 @@ PII_RULES: list[tuple[str, str, str]] = [
 ]
 
 
+def scrubbed_text_expr(text_col: Column) -> Column:
+    """The scrub chain as a bare Column (for pipelines that only want
+    the transformed text, not the counts) — same order contract."""
+    cur = text_col
+    for _, pat, repl in PII_RULES:
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur
+
+
 def scrub_pii(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """(id, clean_text, n_email, n_ipv4, n_ssn, n_phone) — one map-only

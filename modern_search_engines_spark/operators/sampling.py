@@ -22,7 +22,7 @@ one broadcast-size map lookup.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def hex_threshold(rate: float) -> str:
@@ -50,6 +50,68 @@ def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
     Same (key, salt, rate) → same subset, on any engine, any layout."""
     return df.where(sample_key_expr(F.col(key_col), salt)
                     < F.lit(hex_threshold(rate)))
+
+
+def cap_per_stratum(df: DataFrame, cap: int, strata_col: str = "source",
+                    key_col: str = "doc_id", salt: str = "",
+                    margin: float = 2.0) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the C4-style per-domain
+    quota that stops head domains from dominating a training mix. The
+    kept rows are the ``cap`` smallest by the deterministic hash key
+    (``sample_key_expr``), so the quota subset is engine- and layout-
+    independent like every sampler here, and re-running with a larger
+    cap only ADDS rows.
+
+    Scale shape: the naive ``row_number() OVER (PARTITION BY domain)``
+    sorts a hot domain's 10^9 rows in one task. This does it in two
+    phases, exactly:
+
+    1. per-stratum counts (map-combinable aggregate, broadcast back);
+       strata already ≤ cap keep ALL rows with no rank at all — at web
+       scale that is almost every domain;
+    2. over-cap strata first drop to hash < cap/count · ``margin``
+       candidates (map-only filter, ~margin·cap rows per stratum,
+       bounded), then rank exactly within the bounded candidate set.
+
+    The margin makes phase 2's input bounded instead of corpus-sized.
+    If a pathological hash layout left fewer than ``cap`` candidates
+    (P ≈ e^-(cap·(margin-1)²/3), negligible for cap ≥ 50), the result
+    would silently differ from the exact quota — so the operator
+    ASSERTS candidate sufficiency per stratum and raises, never returns
+    a wrong subset (rerun with a larger margin)."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    hexk = sample_key_expr(F.col(key_col), salt)
+    d = df.withColumn("__sk", hexk)
+    counts = d.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    d = d.join(F.broadcast(counts), strata_col)
+    under = d.where(F.col("__n") <= cap)
+    # phase-2 pre-filter: hex threshold per stratum ~ cap/count · margin
+    # ('g' = keep-all when the margin already covers the whole stratum;
+    # conv() emits uppercase, md5 keys are lowercase — lower() before
+    # the lexicographic compare)
+    tnum = F.ceil(F.lit(float(16**8)) * F.lit(float(margin) * cap)
+                  / F.col("__n")).cast("long")
+    thresh = F.when(
+        F.lit(float(margin) * cap) >= F.col("__n"), F.lit("g")
+    ).otherwise(
+        F.lpad(F.lower(F.conv(tnum.cast("string"), 10, 16)), 8, "0"))
+    cand = d.where((F.col("__n") > cap) & (F.col("__sk") < thresh))
+    w = Window.partitionBy(strata_col).orderBy("__sk", key_col)
+    ranked = cand.withColumn("__rk", F.row_number().over(w))
+    # loud sufficiency check: every over-cap stratum must have ≥ cap
+    # candidates, else the margin filter clipped the true quota set
+    short = (ranked.groupBy(strata_col).agg(F.max("__rk").alias("m"))
+             .join(counts.where(F.col("__n") > cap), strata_col)
+             .where(F.col("m") < cap))
+    bad = short.limit(1).collect()
+    if bad:
+        raise RuntimeError(
+            f"cap_per_stratum margin={margin} left stratum "
+            f"{bad[0][strata_col]} with {bad[0]['m']} < cap={cap} "
+            "candidates; rerun with a larger margin")
+    kept = ranked.where(F.col("__rk") <= cap).drop("__rk")
+    return under.unionByName(kept).drop("__sk", "__n")
 
 
 def stratified_sample(df: DataFrame, rates: dict[str, float],

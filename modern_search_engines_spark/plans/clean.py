@@ -151,6 +151,48 @@ def classify_docs(docs: DataFrame, langs=("en",), min_tokens: int = 5,
                     "n_tokens", "lang_guess", "rep_ratio"))
 
 
+def curate_docs(docs: DataFrame, evalset: DataFrame | None = None,
+                decontam_n: int = 8, drop_dup_lines: bool = False,
+                scrub_pii: bool = False, per_source_cap: int | None = None,
+                strata_col: str = "source", text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """The post-cleaning curation transforms of a training-data
+    pipeline, composed in the order public recipes apply them:
+
+      1. decontaminate — drop docs sharing an n-gram with ``evalset``
+         (broadcast semi-join probe; operators/decontam.py);
+      2. corpus-level line dedup — strip every repeated line, keep the
+         corpus-wide first occurrence (operators/linededup.py); docs
+         whose every line was boilerplate are dropped;
+      3. PII scrub — map-only regex replacement (operators/pii.py);
+      4. per-source quota cap — deterministic head-domain flattening
+         (operators/sampling.cap_per_stratum).
+
+    Returns ``docs`` with the same schema, ``text_col`` transformed.
+    Every step is optional; the default arguments make this the
+    identity plan."""
+    from ..operators import decontam, linededup, pii, sampling
+    out = docs
+    if evalset is not None:
+        out = decontam.decontaminate(out, evalset, decontam_n,
+                                     text_col=text_col, id_col=id_col)
+    if drop_dup_lines:
+        ld = linededup.line_dedup(out, id_col=id_col, text_col=text_col)
+        out = (out.drop(text_col)
+               .join(ld.where(F.col("n_kept") > 0)
+                     .select(F.col(id_col),
+                             F.col("clean_text").alias(text_col)),
+                     id_col))
+    if scrub_pii:
+        out = out.withColumn(
+            text_col, pii.scrubbed_text_expr(F.col(text_col)))
+    if per_source_cap is not None:
+        out = sampling.cap_per_stratum(out, per_source_cap,
+                                       strata_col=strata_col,
+                                       key_col=id_col)
+    return out
+
+
 def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                  langs=("en",), min_tokens: int = 5,
                  max_rep_ratio: float = 0.5,
@@ -159,9 +201,18 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                  max_shingle_df: int | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
                  transitive: bool = False,
+                 evalset: DataFrame | None = None, decontam_n: int = 8,
+                 drop_dup_lines: bool = False, scrub_pii: bool = False,
+                 per_source_cap: int | None = None,
+                 strata_col: str = "source",
                  verbose: bool = True) -> dict:
     """Run (or resume) the staged cleaning pipeline; returns stage
-    handles + a per-status count summary."""
+    handles + a per-status count summary.
+
+    The curation options (``evalset``/``drop_dup_lines``/``scrub_pii``/
+    ``per_source_cap``) add one further atomic stage, ``curated``,
+    applying ``curate_docs`` to the kept documents; with none of them
+    set the pipeline ends at ``clean`` exactly as before."""
     params = {"langs": list(langs), "min_tokens": min_tokens,
               "max_rep_ratio": max_rep_ratio,
               "jaccard_threshold": jaccard_threshold,
@@ -187,5 +238,19 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
     summary = {r["status"]: r["n"] for r in
                status.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
                .collect()}
-    return {"doc_stats": stats, "doc_status": status, "clean": clean,
-            "summary": summary, "writer": sw}
+    out = {"doc_stats": stats, "doc_status": status, "clean": clean,
+           "summary": summary, "writer": sw}
+    if (evalset is not None or drop_dup_lines or scrub_pii
+            or per_source_cap is not None):
+        cur_params = dict(params, decontam=evalset is not None,
+                          decontam_n=decontam_n,
+                          drop_dup_lines=drop_dup_lines,
+                          scrub_pii=scrub_pii,
+                          per_source_cap=per_source_cap)
+        out["curated"] = sw.write_stage(
+            curate_docs(clean, evalset, decontam_n, drop_dup_lines,
+                        scrub_pii, per_source_cap, strata_col,
+                        text_col, id_col),
+            "curated", inputs=("clean",), params=cur_params)
+        out["summary"]["curated"] = out["curated"].count()
+    return out

@@ -114,3 +114,61 @@ def test_clean_job_cli(spark, tmp_path):
     assert out_json["summary"]["kept"] == 2
     assert {m["name"] for m in out_json["stages"]} == {
         "doc_stats", "doc_status", "clean"}
+
+
+def test_curated_stage(spark, tmp_path):
+    """The optional curation stage: decontam drops an eval-overlapping
+    doc, line dedup strips the repeated line, PII is scrubbed, and the
+    stage is an atomic resumable commit like the others."""
+    from pyspark.sql import functions as F
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=7, text="a completely different story about the sea "
+                           "and the ships that is long enough to pass "
+                           "every the quality gate with room to spare "
+                           "because it keeps the going on and on in the "
+                           "calm water of the wide open bay"),
+        Row(doc_id=9, text="an original essay on mountains and snow "
+                           "that mentions nothing else of note but is "
+                           "long enough to be kept around here with "
+                           "contact me at someone@mail.example.org "
+                           "for more details on the mountain passes"),
+    ]
+    docs = spark.createDataFrame(rows).withColumn(
+        "source", F.lit("srcX"))
+    # eval set overlaps doc 7's opening 8 tokens
+    ev = spark.createDataFrame(
+        [Row(text="a completely different story about the sea and")])
+    out = str(tmp_path / "curated")
+    res = clean_corpus(spark, docs, out, verbose=False,
+                       evalset=ev, decontam_n=6, scrub_pii=True,
+                       **PARAMS)
+    cur = {r["doc_id"]: r["text"] for r in res["curated"].collect()}
+    assert 7 not in cur                      # decontaminated
+    assert 1 in cur and 9 in cur
+    assert "<EMAIL>" in cur[9]               # scrubbed
+    assert "someone@" not in cur[9]
+    assert res["summary"]["curated"] == 2
+    assert os.path.exists(os.path.join(out, "curated", "_MANIFEST.json"))
+
+
+def test_curated_line_dedup_and_cap(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from modern_search_engines_spark.plans.clean import curate_docs
+    docs = spark.createDataFrame([
+        Row(doc_id=1, source="a",
+            text="unique first line\ncookie banner text here"),
+        Row(doc_id=2, source="a",
+            text="cookie banner text here\nreal content of doc two"),
+        Row(doc_id=3, source="a",
+            text="cookie banner text here"),   # all-boilerplate → dropped
+        Row(doc_id=4, source="b", text="solo content"),
+    ])
+    out = curate_docs(docs, drop_dup_lines=True, per_source_cap=1)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 3 not in got                       # every line was a dup
+    assert got[4] == "solo content"
+    remaining_a = [d for d in got if d in (1, 2)]
+    assert len(remaining_a) == 1              # capped to 1 per source
+    assert "cookie banner" not in got[remaining_a[0]] or \
+        remaining_a[0] == 1                   # only doc1 may keep banner
