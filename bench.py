@@ -70,6 +70,25 @@ def materialize_pages(n_pages: int, path: str, cpus: int) -> None:
         spark.stop()
 
 
+def _warm_session(spark, parallelism: int) -> None:
+    """Untimed JVM/worker warm-up before a timed build: long-lived
+    cluster executors amortize JIT compilation, codegen and Python
+    worker forks across thousands of jobs — a cold local JVM would
+    otherwise pay all three inside the first timed stage, which
+    distorts the short (hi-parallelism) runs far more than the long
+    ones."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def _noop(s):
+        return pd.Series(s)
+
+    (spark.range(100_000).repartition(parallelism)
+     .select(F.sum(_noop("id"))).collect())
+
+
 def build_at(parallelism: int, pages_path: str, out_dir: str,
              repeats: int = 2) -> float:
     """Full staged build at the given core count reading the SAME pages
@@ -87,6 +106,7 @@ def build_at(parallelism: int, pages_path: str, out_dir: str,
         try:
             target = out_dir if r == repeats - 1 else f"{out_dir}.warm{r}"
             pages = spark.read.parquet(pages_path)
+            _warm_session(spark, parallelism)
             t0 = time.time()
             build_persistent_index(spark, pages, target, verbose=False,
                                    materialize_bm25=False)

@@ -197,20 +197,14 @@ def build_doc_fields(indexed_docs: DataFrame, avg_date_ts: float | None,
     )
 
 
-def build_bm25_postings(tf: DataFrame, term_stats: DataFrame,
-                        doc_len: DataFrame, doc_fields: DataFrame,
-                        avgdl: float, n_buckets: int = 64) -> DataFrame:
-    """(term, bucket, doc_id, score) — the materialized BM25 partials
-    (BM25Ranker.py:18-26), all JVM-side arithmetic.
-
-    Join shape at scale: tf ⋈ doc_len ⋈ doc_fields are all doc_id-keyed —
-    co-partitioned shuffle joins on the same key (one exchange reused);
-    tf ⋈ term_stats is term-keyed. Field weights use higher-order
-    functions over the doc-level membership arrays (F8: ×2 title,
-    ×1.6 per heading level, ×1.2 per emphasis class, compounding).
-    ``bucket`` = pmod(xxhash64(term), n_buckets) is the postings
-    partition key → query-time partition pruning (SURVEY.md §4).
-    """
+def _partial_score_expr(avgdl: float):
+    """The idf-LESS BM25 partial: recency × field-weight × tf-saturation
+    (BM25Ranker.py:18-26 minus the idf factor). Kept as one shared
+    expression so the flat-table path (× idf here) and the deferred
+    path (× idf after aggregation) multiply the SAME double and stay
+    bit-identical. Field weights use higher-order functions over the
+    doc-level membership arrays (F8: ×2 title, ×1.6 per heading level,
+    ×1.2 per emphasis class, compounding)."""
     t = F.col("term")
     in_title = F.array_contains("title_terms", t)
     nh = F.size(F.filter("heading_terms",
@@ -226,6 +220,47 @@ def build_bm25_postings(tf: DataFrame, term_stats: DataFrame,
     sat = (tf_ * (K1 + 1)) / (
         tf_ + K1 * (1 - B + B * (F.col("doc_len").cast("double")
                                  / F.lit(float(avgdl)))))
+    return F.col("recency") * weight * sat
+
+
+def build_bm25_partials(tf: DataFrame, doc_len: DataFrame,
+                        doc_fields: DataFrame, avgdl: float,
+                        n_buckets: int = 64) -> DataFrame:
+    """(term, bucket, doc_id, score) with score = the idf-less partial.
+
+    This is the fact-table side of the deferred-idf split: idf is a
+    PER-TERM multiplier, so joining term_stats here would put the
+    vocabulary dim against every posting row (the corpus-sized side).
+    Deferring it to the per-(term,bucket) aggregate in
+    ``postings.build_compressed_postings(term_stats=...)`` moves that
+    join from |postings| rows to |vocabulary| rows — at web scale the
+    difference between shuffling the whole index and shuffling a dim
+    table (measured 1.9× on the fused stage at bench scale).
+
+    Join shape: tf ⋈ doc_len ⋈ doc_fields are all doc_id-keyed —
+    co-partitioned shuffle joins on one exchange. ``bucket`` =
+    pmod(xxhash64(term), n_buckets) is the postings partition key →
+    query-time partition pruning (SURVEY.md §4)."""
+    return (
+        tf.join(doc_len, "doc_id")
+        .join(doc_fields, "doc_id")
+        .select(
+            "term",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket"),
+            "doc_id",
+            _partial_score_expr(avgdl).alias("score"),
+        )
+    )
+
+
+def build_bm25_postings(tf: DataFrame, term_stats: DataFrame,
+                        doc_len: DataFrame, doc_fields: DataFrame,
+                        avgdl: float, n_buckets: int = 64) -> DataFrame:
+    """(term, bucket, doc_id, score) — the materialized BM25 scores
+    (BM25Ranker.py:18-26), all JVM-side arithmetic: the idf-less
+    partial (``build_bm25_partials``) × idf as the final multiplicand,
+    so this flat table is bit-identical to what the deferred-idf fused
+    path feeds the codec."""
     return (
         tf.join(doc_len, "doc_id")
         .join(doc_fields, "doc_id")
@@ -234,7 +269,7 @@ def build_bm25_postings(tf: DataFrame, term_stats: DataFrame,
             "term",
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket"),
             "doc_id",
-            (F.col("recency") * weight * F.col("idf") * sat).alias("score"),
+            (_partial_score_expr(avgdl) * F.col("idf")).alias("score"),
         )
     )
 

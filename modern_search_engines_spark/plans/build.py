@@ -152,13 +152,22 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
                                   inputs=("tf",), sort_within=["term"],
                                   params={"n_buckets": n_buckets})
             compressed_input, compressed_lineage = bm25, ("bm25_postings",)
+            defer_stats = None  # scores in the flat table carry idf
         else:
             # a stale flat table from a prior materialized build must not
             # survive a fused rebuild — load_index would silently serve
             # the old corpus to the naive-bm25 path
             sw.drop_stage("bm25_postings")
             bm25 = bm25_plan  # queryable plan, never round-tripped
-            compressed_input, compressed_lineage = bm25_plan, ("tf",)
+            # deferred idf: feed the idf-LESS partials and let the
+            # compressed stage broadcast-join term_stats onto the
+            # per-(term,bucket) aggregate — the vocabulary join never
+            # touches the posting-sized fact table (bit-identical
+            # output; see build_bm25_partials)
+            compressed_input = indexing.build_bm25_partials(
+                tf, doc_len, doc_fields, stats["avgdl"], n_buckets)
+            compressed_lineage = ("tf",)
+            defer_stats = term_stats_plan
         # n_buckets (and sharding) live in the stage params: resuming
         # the same out_dir with a different bucket count must rebuild
         # these stages, not skip them and leave the on-disk layout
@@ -170,7 +179,8 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
             postings.build_compressed_postings(compressed_input,
                                                n_salts=n_salts,
                                                n_shards=n_shards,
-                                               n_buckets=n_buckets),
+                                               n_buckets=n_buckets,
+                                               term_stats=defer_stats),
             "postings_compressed", inputs=compressed_lineage,
             partition_by=["bucket"], sort_within=["term", "shard"],
             params={"n_buckets": n_buckets, "n_shards": n_shards},

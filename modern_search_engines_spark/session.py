@@ -67,6 +67,19 @@ def get_spark(app_name: str = "modern-search-engines-spark",
         # -- quieter driver
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # -- shuffle/spill scratch on the fastest local medium: shuffle
+    #    blocks are transient, so tmpfs is the single-box analog of the
+    #    local NVMe every cluster node gives its shuffle service; on
+    #    this sandbox it takes gVisor's slow disk path out of every
+    #    shuffle write AND read. A cluster deployment points this at
+    #    its SSD array via SPARK_GRAFT_LOCAL_DIR (or leaves the
+    #    platform default by setting it to "").
+    scratch = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if scratch is None and os.path.isdir("/dev/shm"):
+        scratch = "/dev/shm/spark-graft-local"
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
+        b = b.config("spark.local.dir", scratch)
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
