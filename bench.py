@@ -54,6 +54,8 @@ CONTRACT_BENCH = (
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_components",
     "link_pagerank", "embedding_cosine_topk",
     "events_user_topk", "events_sessions", "tpch_pricing_summary",
+    "line_dedup", "pii_scrub", "decontam_hits", "pack_sequences",
+    "cap_per_source",
 )
 
 
@@ -100,9 +102,13 @@ def build_at(parallelism: int, pages_path: str, out_dir: str,
     I/O."""
     best = float("inf")
     for r in range(repeats):
+        # IDENTICAL job config at every level — only the core count
+        # varies, exactly the north rule's fixed-job N vs 4N setup (a
+        # per-level shuffle-partition count would make the lo and hi
+        # jobs different plans)
         spark = get_spark(f"bench-build-{parallelism}-{r}",
                           master=f"local[{parallelism}]",
-                          shuffle_partitions=max(8, parallelism * 4))
+                          shuffle_partitions=16)
         try:
             target = out_dir if r == repeats - 1 else f"{out_dir}.warm{r}"
             pages = spark.read.parquet(pages_path)
@@ -210,17 +216,20 @@ def main() -> None:
             return build_at(par, path,
                             os.path.join(work, f"idx{tag}"), repeats=1)
 
-        # min-of-3, still strictly alternating: with min-of-2 a single
+        # min-of-4, still strictly alternating: with min-of-2 a single
         # multi-minute slow phase can still eat one run of each level
         # (measured: the same build code read 0.81 and 0.73 efficiency
-        # in runs an hour apart); a third sample per level makes the
-        # min a much tighter estimator of the machine's true floor
+        # in runs an hour apart); extra samples per level tighten the
+        # min as an estimator of the machine's true floor — the metric
+        # definition (min wall per level, ratio/4) is unchanged
         t_lo = run1(lo, head_path, "h_lo_a")
         t_hi = run1(hi, head_path, "h_hi_a")
         t_lo = min(t_lo, run1(lo, head_path, "h_lo_b"))
         t_hi = min(t_hi, run1(hi, head_path, "h_hi_b"))
         t_lo = min(t_lo, run1(lo, head_path, "h_lo_c"))
         t_hi = min(t_hi, run1(hi, head_path, "h_hi_c"))
+        t_lo = min(t_lo, run1(lo, head_path, "h_lo_d"))
+        t_hi = min(t_hi, run1(hi, head_path, "h_hi_d"))
         th_lo, th_hi = n_head / t_lo, n_head / t_hi
         eff = (th_hi / th_lo) / (hi / lo)
         ceiling = machine_ceiling(lo, hi)
@@ -233,7 +242,7 @@ def main() -> None:
         queries["scaling_efficiency_vs_ceiling"] = round(
             min(eff / ceiling, 1.0), 3) if ceiling > 0 else 0.0
         for tag in ("h_lo_a", "h_hi_a", "h_hi_b", "h_lo_b",
-                    "h_lo_c", "h_hi_c"):
+                    "h_lo_c", "h_hi_c", "h_lo_d", "h_hi_d"):
             shutil.rmtree(os.path.join(work, f"idx{tag}"),
                           ignore_errors=True)
         if head_path != pages_path:

@@ -54,7 +54,7 @@ def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
 
 def cap_per_stratum(df: DataFrame, cap: int, strata_col: str = "source",
                     key_col: str = "doc_id", salt: str = "",
-                    margin: float = 2.0) -> DataFrame:
+                    margin: float = 3.0) -> DataFrame:
     """Keep at most ``cap`` rows per stratum — the C4-style per-domain
     quota that stops head domains from dominating a training mix. The
     kept rows are the ``cap`` smallest by the deterministic hash key
@@ -75,7 +75,9 @@ def cap_per_stratum(df: DataFrame, cap: int, strata_col: str = "source",
 
     The margin makes phase 2's input bounded instead of corpus-sized.
     If a pathological hash layout left fewer than ``cap`` candidates
-    (P ≈ e^-(cap·(margin-1)²/3), negligible for cap ≥ 50), the result
+    (Chernoff-small; at margin 3 even cap=8 has P < 1e-4 per stratum,
+    and membership is deterministic per dataset — it either always
+    passes or always raises for a given corpus), the result
     would silently differ from the exact quota — so the operator
     ASSERTS candidate sufficiency per stratum and raises, never returns
     a wrong subset (rerun with a larger margin)."""
