@@ -5,11 +5,17 @@
         --docs /data/documents_parquet --out /data/clean \
         [--langs en] [--min-tokens 5] [--max-rep-ratio 0.5] \
         [--jaccard-threshold 0.6] [--n-minhash 8] [--n-bands 4] \
-        [--max-shingle-df 10000] [--id-col doc_id] [--text-col text]
+        [--max-shingle-df 10000] [--id-col doc_id] [--text-col text] \
+        [--transitive] [--evalset /data/eval_parquet] [--decontam-n 8] \
+        [--drop-dup-lines] [--scrub-pii] [--per-source-cap N] \
+        [--strata-col source]
 
-documents → doc_stats → doc_status → clean (each an atomic, resumable
-stage commit — plans/clean.py). Prints one JSON line: per-status counts
-+ per-stage metrics. Re-running with the same --out resumes.
+documents → doc_stats → doc_status → clean [→ curated] (each an
+atomic, resumable stage commit — plans/clean.py; the curated stage runs
+when any curation flag is set: eval-set decontamination → corpus line
+dedup → PII scrub → per-source quota cap). Prints one JSON line:
+per-status counts + per-stage metrics. Re-running with the same --out
+resumes.
 """
 
 from __future__ import annotations
@@ -36,6 +42,18 @@ def main(argv: list[str] | None = None) -> int:
                          "the near-dup join (hot-shingle scale guard)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--transitive", action="store_true",
+                    help="connected-components near-dup clusters "
+                         "(one survivor per component)")
+    ap.add_argument("--evalset", default=None,
+                    help="benchmark parquet (text column) to "
+                         "decontaminate against")
+    ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument("--drop-dup-lines", action="store_true",
+                    help="corpus-level line dedup (C4 rule)")
+    ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--per-source-cap", type=int, default=None)
+    ap.add_argument("--strata-col", default="source")
     args = ap.parse_args(argv)
 
     from modern_search_engines_spark.plans.clean import clean_corpus
@@ -52,7 +70,15 @@ def main(argv: list[str] | None = None) -> int:
             jaccard_threshold=args.jaccard_threshold,
             n_minhash=args.n_minhash, n_bands=args.n_bands,
             max_shingle_df=args.max_shingle_df,
-            text_col=args.text_col, id_col=args.id_col, verbose=True)
+            text_col=args.text_col, id_col=args.id_col,
+            transitive=args.transitive,
+            evalset=(spark.read.parquet(args.evalset)
+                     if args.evalset else None),
+            decontam_n=args.decontam_n,
+            drop_dup_lines=args.drop_dup_lines,
+            scrub_pii=args.scrub_pii,
+            per_source_cap=args.per_source_cap,
+            strata_col=args.strata_col, verbose=True)
         print(json.dumps({"summary": res["summary"],
                           "stages": res["writer"].metrics()}))
     finally:
