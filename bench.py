@@ -31,6 +31,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd
+
 from modern_search_engines_spark import contract, corpus
 from modern_search_engines_spark.operators import wand
 from modern_search_engines_spark.plans.build import build_persistent_index
@@ -79,13 +81,12 @@ def _warm_session(spark, parallelism: int) -> None:
     otherwise pay all three inside the first timed stage, which
     distorts the short (hi-parallelism) runs far more than the long
     ones."""
-    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long", PandasUDFType.SCALAR)
-    def _noop(s):
-        return pd.Series(s)
+    @pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
 
     (spark.range(100_000).repartition(parallelism)
      .select(F.sum(_noop("id"))).collect())

@@ -77,9 +77,12 @@ def get_spark(app_name: str = "modern-search-engines-spark",
     scratch = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if scratch is None and os.path.isdir("/dev/shm"):
         scratch = "/dev/shm/spark-graft-local"
-    if scratch:
+    if scratch and "SPARK_LOCAL_DIRS" not in os.environ:
+        # via the env var, not spark.local.dir conf: the conf route is
+        # ignored-with-a-WARN under any cluster manager, the env var is
+        # the documented mechanism everywhere
         os.makedirs(scratch, exist_ok=True)
-        b = b.config("spark.local.dir", scratch)
+        os.environ["SPARK_LOCAL_DIRS"] = scratch
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
