@@ -131,3 +131,50 @@ def test_clean_pipeline_plan_shapes(spark):
     plan = _plan(status)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontam_probe_is_broadcast_semi_join(spark):
+    """The corpus-side membership probe must be a broadcast semi-join —
+    the 100-TB side never shuffles for the eval-set check."""
+    from modern_search_engines_spark.operators import decontam
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in
+         range(50)], "doc_id long, text string")
+    ev = spark.createDataFrame([("alpha beta gamma delta epsilon zeta",)],
+                               "text string")
+    plan = _plan(decontam.find_contaminated(docs, ev, n=6))
+    assert "BroadcastExchange" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_packing_has_no_corpus_wide_window(spark):
+    """The global token cumsum must never be a single-partition window:
+    the only ORDER BY windows allowed are partitioned by pid (parallel)
+    or by the fold-proof constant key over the P-row partition totals."""
+    from modern_search_engines_spark.operators import packing
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(100)], "doc_id long, text string")
+    plan = _plan(packing.pack_sequences(docs, seq_len=16))
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        # every window spec must carry a partition expression before the
+        # ordering column (an unpartitioned spec starts with the order col)
+        assert ("pid" in spec or "pmod" in spec or "_w" in spec), plan
+    assert "rangepartitioning" in plan, plan
+
+
+def test_cap_per_stratum_prefilters_before_rank(spark):
+    """The over-cap branch must filter on the hash threshold BEFORE its
+    rank window — the window's input is margin-bounded, not stratum-
+    sized (the naive per-domain row_number sorts a hot domain's rows in
+    one task)."""
+    from modern_search_engines_spark.operators import sampling
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)],
+        "doc_id long, source string")
+    out = sampling.cap_per_stratum(docs, cap=5, strata_col="source")
+    plan = _optimized(out)
+    # the physical tree contains a Filter on __sk below the Window
+    win_at = plan.find("Window")
+    assert win_at != -1, plan
+    assert "__sk" in plan[win_at:], plan
