@@ -143,6 +143,25 @@ _LEMMA_EXCEPTIONS = {
     "cities": "city", "queries": "query", "entries": "entry",
 }
 
+# Words the WordNet-backed lemmatizer would return UNCHANGED because
+# the s-stripped candidate is NOT a noun in its lexicon (nltk's
+# lemmatize picks the SHORTEST valid noun form, so only words whose
+# stripped form is a non-word or a non-noun are safe to pin here —
+# "lens"→"len"✗, "news"→"new"✗, "upstairs"→"upstair"✗; NOT e.g.
+# "statistics", whose stripped "statistic" IS a noun and is what nltk
+# returns). Checked before the suffix rules; narrows the no-dictionary
+# divergence documented in the module header.
+_LEMMA_KEEP = frozenset("""
+news series lens atlas bias canvas chaos gas alias christmas
+mathematics economics politics athletics gymnastics
+electronics genetics linguistics logistics phonetics robotics
+thermodynamics aerobics forensics
+measles diabetes rabies herpes
+scissors headquarters whereabouts
+always perhaps towards besides sometimes upstairs downstairs
+overseas indoors outdoors alas whereas
+""".split())
+
 _LEMMA_RULES = (
     ("sses", "ss"), ("ches", "ch"), ("shes", "sh"), ("xes", "x"),
     ("zes", "z"), ("ies", "y"), ("ss", "ss"), ("us", "us"), ("is", "is"),
@@ -163,6 +182,8 @@ def lemmatize(word: str) -> str:
         return cached
     if word in _LEMMA_EXCEPTIONS:
         out = _LEMMA_EXCEPTIONS[word]
+    elif word in _LEMMA_KEEP:
+        out = word
     else:
         out = word
         for suffix, repl in _LEMMA_RULES:

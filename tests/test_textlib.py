@@ -172,3 +172,19 @@ def test_spell_correct_vocab_norvig_model():
     # deterministic tie-break: equal frequency -> lexicographic
     v2 = {"aab": 5, "aac": 5}
     assert spell_correct_vocab("aaa", v2) == "aab"
+
+
+def test_lemmatize_keep_list_survives_s_strip():
+    """Singular/plural-only/adverbial s-final words whose stripped form
+    is not a noun must come through unchanged (WordNet would validate
+    and keep them; a blind strip corrupts them)."""
+    from modern_search_engines_spark import textlib
+    for w in ("news", "series", "lens", "atlas", "chaos", "gas",
+              "mathematics", "robotics", "diabetes", "scissors",
+              "headquarters", "always", "towards", "upstairs"):
+        assert textlib.lemmatize(w) == w, w
+    # the rule path still strips ordinary plurals
+    assert textlib.lemmatize("tables") == "table"
+    assert textlib.lemmatize("churches") == "church"
+    # and the exception table still wins over everything
+    assert textlib.lemmatize("leaves") == "leaf"
