@@ -671,6 +671,17 @@ def q_stratified_sample(spark, sf):
         key_col="doc_id", salt="mix1").select("doc_id", "source")
 
 
+def q_hash_split(spark, sf):
+    """Deterministic named train/val/test split: disjoint contiguous
+    md5-key ranges sized 0.8/0.1/0.1 — exactly one split per row, same
+    assignment on any engine/layout (twin reproduces the identical
+    CASE chain)."""
+    from .operators import sampling
+    return sampling.hash_split(
+        _docs(spark, sf), {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col="doc_id", salt="sp1").select("doc_id", "split")
+
+
 def q_decontam_hits(spark, sf):
     """Benchmark decontamination: flag every training doc sharing a
     6-token n-gram with a synthetic 'benchmark' set (tokens 3..10 of
@@ -1643,6 +1654,19 @@ WHERE substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) <
            ELSE '40000000' END
 """
 
+# hash-split twin: the identical sorted-name CASE chain (test|train|val
+# cumulative thresholds floor(0.1·16^8)='19999999', floor(0.9·16^8)=
+# 'e6666666' — the same hex_threshold arithmetic the operator uses)
+_ORACLE["hash_split"] = """
+SELECT doc_id,
+       CASE WHEN substring(md5('sp1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '19999999' THEN 'test'
+            WHEN substring(md5('sp1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'e6666666' THEN 'train'
+            ELSE 'val' END AS split
+FROM documents
+"""
+
 # decontamination twin: identical eval-set derivation (tokens 3..10 of
 # every 97th doc), identical 6-gram md5 keys, semi-join + distinct count
 _ORACLE["decontam_hits"] = """
@@ -1872,6 +1896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
+    "hash_split": q_hash_split,
     "decontam_hits": q_decontam_hits,
     "pack_sequences": q_pack_sequences,
     "cap_per_source": q_cap_per_source,

@@ -52,6 +52,40 @@ def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
                     < F.lit(hex_threshold(rate)))
 
 
+def hash_split(df: DataFrame, weights: dict[str, float],
+               key_col: str = "doc_id", salt: str = "",
+               split_col: str = "split") -> DataFrame:
+    """Assign every row to exactly ONE named split (train/val/test …)
+    by disjoint, contiguous ranges of the deterministic hash key, sized
+    by ``weights`` (which must sum to 1 within float tolerance). The
+    assignment is a pure map-only function of (key, salt, weights) —
+    same split membership on any engine, any layout, any re-run; and
+    because ranges are laid out in sorted-name order, growing one
+    split's weight only moves rows across the SINGLE boundary it
+    shares with its neighbors (no global reshuffle of membership).
+
+    This is the split operator a training pipeline wants alongside
+    ``hash_sample`` — sampling answers "which subset", splitting
+    answers "which partition of the whole"; both decide from the same
+    md5 key, but DIFFERENT salts should be used for a split-within-
+    sample so the two decisions stay independent."""
+    total = sum(weights.values())
+    if not weights or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    key = sample_key_expr(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = key < F.lit(hex_threshold(min(cum, 1.0)))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
 def cap_per_stratum(df: DataFrame, cap: int, strata_col: str = "source",
                     key_col: str = "doc_id", salt: str = "",
                     margin: float = 3.0) -> DataFrame:

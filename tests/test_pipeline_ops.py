@@ -107,3 +107,47 @@ class TestHashSampling:
         assert counts["s0"] == 1000
         assert 350 < counts["s1"] < 650
         assert "s2" not in counts  # default_rate=0.0
+
+
+class TestHashSplit:
+    def test_disjoint_covering_and_proportional(self, spark):
+        from modern_search_engines_spark.operators import sampling
+        d = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        out = sampling.hash_split(
+            d, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s")
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n"))
+                  .collect()}
+        assert sum(counts.values()) == 5000          # covering
+        assert set(counts) == {"train", "val", "test"}
+        assert 3800 < counts["train"] < 4200
+        assert 350 < counts["val"] < 650
+
+    def test_deterministic_across_layouts(self, spark):
+        from modern_search_engines_spark.operators import sampling
+        d = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        w = {"a": 0.5, "b": 0.5}
+        x = {r["doc_id"]: r["split"] for r in
+             sampling.hash_split(d, w, salt="z").collect()}
+        y = {r["doc_id"]: r["split"] for r in
+             sampling.hash_split(d.repartition(7), w, salt="z").collect()}
+        assert x == y
+
+    def test_reweighting_moves_only_boundary_rows(self, spark):
+        from modern_search_engines_spark.operators import sampling
+        d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in sampling.hash_split(
+            d, {"test": 0.1, "train": 0.8, "val": 0.1}, salt="s").collect()}
+        b = {r["doc_id"]: r["split"] for r in sampling.hash_split(
+            d, {"test": 0.2, "train": 0.7, "val": 0.1}, salt="s").collect()}
+        # growing test only converts train rows to test; val untouched
+        changed = {k for k in a if a[k] != b[k]}
+        assert changed and all(a[k] == "train" and b[k] == "test"
+                               for k in changed)
+
+    def test_rejects_bad_weights(self, spark):
+        from modern_search_engines_spark.operators import sampling
+        d = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            sampling.hash_split(d, {"a": 0.5, "b": 0.4})
