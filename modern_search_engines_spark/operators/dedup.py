@@ -7,7 +7,6 @@
                    verify — linear shuffle, never a crossJoin
 * minhash LSH      shingle → md5-minhash → banded bucket join
 * ngram jaccard    shared-shingle candidate pairs + exact jaccard verify
-* embedding cosine near-dup via sign-bit LSH buckets + cosine verify
 * connected components  transitive closure over verified pair tables
                    (large-star/small-star — near-dup chains collapse to
                    one canonical survivor per component)
@@ -360,29 +359,9 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             .select(F.col("u").alias("node"), "component"))
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
-                        n_bits: int = 12) -> DataFrame:
-    """(vec_a, vec_b, cos) — cosine ≥ threshold, candidates from sign-bit
-    LSH buckets (recall-limited prefilter; exact verify inside bucket)."""
-    bits = F.concat(*[
-        F.when(F.element_at("embedding", i) >= 0, F.lit("1"))
-        .otherwise(F.lit("0")) for i in range(1, n_bits + 1)
-    ])
-    e = emb.select("vec_id", "embedding", bits.alias("bucket"))
-    a, b = e.alias("a"), e.alias("b")
-    ea = F.transform(F.col("a.embedding"), lambda x: x.cast("double"))
-    eb = F.transform(F.col("b.embedding"), lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(ea, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(eb, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                (dot / (na * nb)).alias("cos"))
-        .where(F.col("cos") >= threshold)
-    )
+# embedding-cosine near-dup lives in operators/similarity.py
+# (embedding_near_dups — multi-band sign-LSH + exact verify, with the
+# same hot-bucket composite-band split simhash has). An older single-
+# full-vector-bucket variant here was removed: two near-same-named
+# operators with different recall contracts were a user trap, and the
+# multi-band one strictly dominates on recall at equal cost.

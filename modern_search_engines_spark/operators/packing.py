@@ -17,12 +17,17 @@ task. This operator computes it in two phases, both parallel:
 1. range-repartition by doc id, cumsum WITHIN each partition (window
    partitioned by ``spark_partition_id()`` — parallel; the range
    partitioner guarantees partition p holds ids strictly below
-   partition p+1). Phases 1 and 2 both hang off the same range
-   exchange; Spark's range-boundary sampling is seeded
-   deterministically per input partition (and AQE's ReuseExchange
-   collapses the two subtrees at runtime), so both phases see ONE
-   boundary set and the pid join keys agree — asserted by the
-   layout-independence test;
+   partition p+1). The pid-stamped base is pinned with an eager
+   ``localCheckpoint`` BEFORE phases 1 and 2 branch off it: both
+   subtrees must see the same physical partitioning, and relying on
+   ReuseExchange to collapse them is fragile — with exchange reuse
+   disabled (or a canonicalization miss) RangePartitioner would
+   resample boundaries per execution with rdd.id-dependent seeds,
+   pids would diverge between the two subtrees, and the pid→offset
+   join would silently misplace every global offset. The checkpoint
+   makes the pid column a property of ONE materialized RDD. (The
+   checkpointed rows are narrow — (id, n_tok, pid) — so the block
+   footprint is rows × ~24 bytes, not corpus text.)
 2. per-partition totals (one tiny P-row aggregate) get their own
    cumsum on the driver-sized side and broadcast-join back as offsets.
 
@@ -61,7 +66,12 @@ def pack_sequences(docs: DataFrame, seq_len: int,
         base = base.repartitionByRange(num_partitions, id_col)
     else:
         base = base.repartitionByRange(id_col)
-    base = base.withColumn("pid", F.spark_partition_id())
+    # pin the range partitioning + pid stamps (see module docstring):
+    # phase 1 and phase 2 below each re-execute `base` if it stays a
+    # lazy plan, and two executions of a range exchange need not pick
+    # the same boundaries
+    base = (base.withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
 
     # phase 1: cumsum inside each range partition (parallel)
     w_local = Window.partitionBy("pid").orderBy(id_col)

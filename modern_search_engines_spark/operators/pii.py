@@ -12,9 +12,11 @@ DuckDB contract twin matches byte-for-byte.
 
 Scrub ORDER is part of the contract: email → ipv4 → ssn → phone, each
 pattern counted on (and applied to) the text as left by the previous
-step. The order resolves containment overlaps deterministically — an
-SSN also matches the looser phone shape, so SSNs must be consumed
-first; dots break the phone pattern, so ipv4 before phone is belt and
+step. The order resolves containment overlaps deterministically —
+SSNs are consumed before the phone pass so an SSN can never be
+mis-typed as a phone (the tightened phone shapes no longer overlap
+SSN, but the ordering contract stays — it is what the counts mean);
+dots break the phone pattern, so ipv4 before phone is belt and
 braces. Counts are therefore "matches of pattern i after scrubs
 1..i-1", the same number the replacement itself saw.
 
@@ -41,8 +43,20 @@ PII_RULES: list[tuple[str, str, str]] = [
     ("ssn",
      r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
      "<SSN>"),
+    # phone-LIKE shapes only, not bare digit runs: the earlier
+    # any-8-chars-of-[0-9 ()-] rule matched year lists, scores and
+    # numeric table rows ("in 2020 2021 2022" → "<PHONE>"), silently
+    # corrupting non-PII numeric text. Precision-first alternation —
+    # a match must carry explicit phone intent: a "+" country code,
+    # a parenthesised area code, or hyphenated 3-4-digit grouping
+    # (ISO dates 2020-01-15 and year ranges 2020-2021 stay untouched;
+    # space-only ungrouped runs like "555 123 4567" are now a
+    # documented recall loss, the public-pipeline precision tradeoff).
     ("phone",
-     r"\+?[0-9][0-9 ()-]{6,}[0-9]\b",
+     r"(?:\+[0-9]{1,3}[ -]?\(?[0-9]{1,4}\)?(?:[ -]?[0-9]{2,5}){1,4}"
+     r"|\([0-9]{2,4}\)[ -]?[0-9]{2,4}(?:[ -]?[0-9]{2,5}){0,3}"
+     r"|\b[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}(?:-[0-9]{2,5})?"
+     r"|\b[0-9]{3}-[0-9]{4})\b",
      "<PHONE>"),
 ]
 

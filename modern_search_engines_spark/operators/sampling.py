@@ -134,17 +134,28 @@ def cap_per_stratum(df: DataFrame, cap: int, strata_col: str = "source",
         F.lpad(F.lower(F.conv(tnum.cast("string"), 10, 16)), 8, "0"))
     cand = d.where((F.col("__n") > cap) & (F.col("__sk") < thresh))
     w = Window.partitionBy(strata_col).orderBy("__sk", key_col)
-    ranked = cand.withColumn("__rk", F.row_number().over(w))
-    # loud sufficiency check: every over-cap stratum must have ≥ cap
-    # candidates, else the margin filter clipped the true quota set
-    short = (ranked.groupBy(strata_col).agg(F.max("__rk").alias("m"))
-             .join(counts.where(F.col("__n") > cap), strata_col)
-             .where(F.col("m") < cap))
+    # persist the bounded candidate set (~margin·cap rows per over-cap
+    # stratum): the sufficiency check below fully materializes it (its
+    # groupBy scans every partition), so the returned plan's action
+    # reads the cache instead of re-executing the corpus scan — ONE
+    # pass over the data for check + output, with graceful recompute
+    # (not failure) if blocks are evicted
+    ranked = cand.withColumn("__rk", F.row_number().over(w)).persist()
+    # loud sufficiency check, driven from the AUTHORITATIVE side: every
+    # over-cap stratum (from `counts`, which sees all strata) must have
+    # ≥ cap candidates. Driving it from `ranked` would let a stratum
+    # whose margin pre-filter left ZERO candidates vanish from the
+    # check entirely — the guard would pass and the stratum's rows
+    # would be silently dropped (neither `under` nor `kept`).
+    maxrk = ranked.groupBy(strata_col).agg(F.max("__rk").alias("m"))
+    short = (counts.where(F.col("__n") > cap)
+             .join(maxrk, strata_col, "left")
+             .where(F.coalesce(F.col("m"), F.lit(0)) < cap))
     bad = short.limit(1).collect()
     if bad:
         raise RuntimeError(
             f"cap_per_stratum margin={margin} left stratum "
-            f"{bad[0][strata_col]} with {bad[0]['m']} < cap={cap} "
+            f"{bad[0][strata_col]} with {bad[0]['m'] or 0} < cap={cap} "
             "candidates; rerun with a larger margin")
     kept = ranked.where(F.col("__rk") <= cap).drop("__rk")
     return under.unionByName(kept).drop("__sk", "__n")

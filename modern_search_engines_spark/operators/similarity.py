@@ -84,13 +84,70 @@ def _cos_pair_expr(ea, eb):
     return dot / (na * nb)
 
 
+def _emb_band_array(n_bands: int, band_bits: int):
+    """array<string> of the vector's sign-bit band keys ("j|bits…")."""
+    return F.array(*[
+        F.concat(F.lit(f"{j}|"), *[
+            F.when(F.element_at("embedding",
+                                j * band_bits + i) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, band_bits + 1)])
+        for j in range(n_bands)])
+
+
+def _emb_band_candidates(emb: DataFrame, n_bands: int, band_bits: int,
+                         id_col: str,
+                         max_bucket_docs: int | None) -> DataFrame:
+    """Candidate pairs (vec_a, vec_b, ea, eb) from the band join,
+    pre-verify — factored out so tests can count candidates.
+
+    ``max_bucket_docs`` splits hot band buckets exactly like
+    dedup._sim_band_candidates: vectors in a band bucket over the cap
+    are re-keyed on (hot band, each OTHER band of the vector) and
+    self-joined on the composite key, so within-bucket pairing is
+    bounded by two-band intersection sizes instead of the hot bucket's
+    square."""
+    band_arr = _emb_band_array(n_bands, band_bits)
+    banded = emb.select(F.col(id_col).alias("vid"), "embedding",
+                        F.explode(band_arr).alias("band"))
+
+    def _self_join(p: DataFrame, key: str) -> DataFrame:
+        a, b = p.alias("a"), p.alias("b")
+        return (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                       & (F.col("a.vid") < F.col("b.vid")))
+                .select(F.col("a.vid").alias("vec_a"),
+                        F.col("b.vid").alias("vec_b"),
+                        F.col("a.embedding").alias("ea"),
+                        F.col("b.embedding").alias("eb")))
+
+    if max_bucket_docs is None:
+        return _self_join(banded, "band")
+    hot = (banded.groupBy("band")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .where(F.col("n") > max_bucket_docs)
+           .select("band"))
+    cold = banded.join(F.broadcast(hot), "band", "left_anti")
+    hot_keys = (banded.join(F.broadcast(hot), "band")
+                .select("vid", "embedding", "band",
+                        F.explode(band_arr).alias("sec"))
+                .where(F.col("sec") != F.col("band"))
+                .select("vid", "embedding",
+                        F.concat("band", F.lit("#"), "sec").alias("key")))
+    return _self_join(cold, "band").unionByName(
+        _self_join(hot_keys, "key"))
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
                         n_bands: int = 8, band_bits: int = 8,
                         id_col: str = "vec_id",
-                        round_to: int | None = None) -> DataFrame:
+                        round_to: int | None = None,
+                        max_bucket_docs: int | None = None) -> DataFrame:
     """(vec_a, vec_b, cos) — pairs with cosine ≥ ``threshold``;
     vec_a < vec_b always. The embedding-cosine member of the dedup
-    family (exact / minhash / simhash / jaccard / embedding).
+    family (exact / minhash / simhash / jaccard / embedding) — and the
+    ONLY embedding near-dup operator in the package (an older
+    single-bucket variant in operators/dedup.py was removed; this
+    multi-band one strictly dominates it on recall at equal cost).
 
     Candidates: band ``j`` of a vector is the sign-bit string of
     components ``[j·band_bits, (j+1)·band_bits)``; a pair is a candidate
@@ -103,30 +160,23 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
 
     Scale shape: explode to (vector, band) rows, self-join on the band
     bucket, verify inside. One shuffle keyed by band bucket — candidate
-    work is Σ bucket² over ACTUAL collisions, never the corpus². At
-    10⁹+ vectors raise ``band_bits`` (bucket count 2^band_bits) the way
-    simhash_near_dups raises its band width, or pre-partition by a
-    band-prefix column on disk.
+    work is Σ bucket² over ACTUAL collisions, never the corpus². Near-
+    dup-heavy corpora cluster by construction, so a popular sign
+    pattern can still make ONE bucket quadratic at 10⁹+ vectors: pass
+    ``max_bucket_docs`` to split over-cap buckets on a (hot band,
+    second band) composite key — the automatic guard, preferable to
+    the manual recall-changing "raise band_bits" knob. Recall effect:
+    a pair whose EVERY shared band is over-cap is found iff it shares
+    ≥ 2 bands, i.e. for those pairs recall tightens from
+    1 − (1−p)^B to 1 − (1−p)^B − B·p·(1−p)^(B−1); for true near-dups
+    p = p_band is close to 1, so the second term is tiny — and pairs
+    with any cold shared band are unaffected.
 
     ``round_to`` rounds the verified cosine before thresholding (set it
     when a cross-engine twin must agree on boundary pairs)."""
-    banded = emb.select(
-        F.col(id_col).alias("vid"), "embedding",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"{j}|"), *[
-                F.when(F.element_at("embedding",
-                                    j * band_bits + i) >= 0,
-                       F.lit("1")).otherwise(F.lit("0"))
-                for i in range(1, band_bits + 1)])
-            for j in range(n_bands)])).alias("band"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.vid") < F.col("b.vid")))
-            .select(F.col("a.vid").alias("vec_a"),
-                    F.col("b.vid").alias("vec_b"),
-                    F.col("a.embedding").alias("ea"),
-                    F.col("b.embedding").alias("eb"))
-            .dropDuplicates(["vec_a", "vec_b"]))
+    cand = _emb_band_candidates(emb, n_bands, band_bits, id_col,
+                                max_bucket_docs) \
+        .dropDuplicates(["vec_a", "vec_b"])
     cos = _cos_pair_expr(F.col("ea"), F.col("eb"))
     if round_to is not None:
         cos = F.round(cos, round_to)

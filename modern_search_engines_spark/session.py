@@ -73,10 +73,21 @@ def get_spark(app_name: str = "modern-search-engines-spark",
     #    this sandbox it takes gVisor's slow disk path out of every
     #    shuffle write AND read. A cluster deployment points this at
     #    its SSD array via SPARK_GRAFT_LOCAL_DIR (or leaves the
-    #    platform default by setting it to "").
+    #    platform default by setting it to ""). The tmpfs default is
+    #    CAPACITY-GUARDED: spill exists to relieve memory pressure, so
+    #    redirecting it to RAM-backed tmpfs on a host where /dev/shm is
+    #    small (the common 50%-of-RAM default) would turn big-build
+    #    spills into ENOSPC instead of disk I/O — only auto-pick tmpfs
+    #    when it has a healthy floor (≥32 GiB free) of headroom; below
+    #    that, an operator must opt in explicitly via the env var.
     scratch = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if scratch is None and os.path.isdir("/dev/shm"):
-        scratch = "/dev/shm/spark-graft-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 32 * 2**30:
+                scratch = "/dev/shm/spark-graft-local"
+        except OSError:
+            pass
     if scratch and "SPARK_LOCAL_DIRS" not in os.environ:
         # via the env var, not spark.local.dir conf: the conf route is
         # ignored-with-a-WARN under any cluster manager, the env var is

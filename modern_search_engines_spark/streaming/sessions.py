@@ -52,8 +52,10 @@ def _replay(last_ts, n_sessions, n_events, pairs, gap_s):
     return last_ts, n_sessions, n_events
 
 
-def _session_fn_factory(gap_min: int):
+def _session_fn_factory(gap_min: int, retire_after_min: float | None = None):
     gap_s = gap_min * 60.0
+    retire_s = (None if retire_after_min is None
+                else retire_after_min * 60.0)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.exists:
@@ -62,6 +64,23 @@ def _session_fn_factory(gap_min: int):
             last_ts = None if pd.isna(last_ts) else float(last_ts)
         else:
             last_ts, n_sessions, n_events, buf = None, 0, 0, []
+        if getattr(state, "hasTimedOut", False):
+            # retirement: the watermark passed this user's last activity
+            # + retire_after, so every buffered event is ≤ last activity
+            # < watermark and finalizes. Emit the final totals once more
+            # (idempotent in update mode) and DROP the state — per-user
+            # state is O(active users within the horizon), not O(all-time
+            # users). A user who returns later restarts from zero — the
+            # documented retirement semantics (see sessionize_stream).
+            _, f_sessions, f_events = _replay(
+                last_ts, n_sessions, n_events, sorted(buf), gap_s)
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": int(key[0]),
+                "n_sessions": int(f_sessions),
+                "n_events": int(f_events),
+            }])
+            return
         rows = pd.concat(list(pdfs))
         buf.extend(zip((ts.timestamp() for ts in rows["ts"]),
                        (int(e) for e in rows["event_id"])))
@@ -79,6 +98,16 @@ def _session_fn_factory(gap_min: int):
         state.update((float("nan") if last_ts is None else float(last_ts),
                       int(n_sessions), int(n_events),
                       [t for t, _ in buf], [i for _, i in buf]))
+        if retire_s is not None:
+            # retire when the watermark passes last activity + horizon;
+            # EventTimeTimeout requires a timestamp strictly above the
+            # current watermark, so clamp (a user already past horizon
+            # times out on the next micro-batch)
+            latest = max([t for t, _ in buf]
+                         + ([last_ts] if last_ts is not None else [0.0]))
+            state.setTimeoutTimestamp(
+                max(int((latest + retire_s) * 1000),
+                    state.getCurrentWatermarkMs() + 1000))
         # provisional totals replay the buffer without persisting it
         _, p_sessions, p_events = _replay(
             last_ts, n_sessions, n_events, buf, gap_s)
@@ -93,22 +122,39 @@ def _session_fn_factory(gap_min: int):
 
 def sessionize_stream(events: DataFrame,
                       gap_min: int = SESSION_GAP_MIN,
-                      watermark: str | None = "2 hours") -> DataFrame:
+                      watermark: str | None = "2 hours",
+                      retire_after_min: float | None = None) -> DataFrame:
     """events stream (event_id, ts, user_id, …) → per-user running
     (n_sessions, n_events), one update row per touched user per batch.
     ``watermark=None`` skips the withWatermark call (exact but unbounded
-    buffer — see module docstring)."""
+    buffer — see module docstring).
+
+    ``retire_after_min`` bounds the state store by the ACTIVE user set
+    instead of the all-time user set: a user idle past the horizon (in
+    event time, judged by the watermark) is finalized via an event-time
+    timeout — final totals emitted once more, state dropped. Semantics
+    tradeoff, stated plainly: a retired user who returns restarts from
+    zero, so all-time totals become per-tenure totals for users with
+    gaps longer than the horizon. ``None`` (default) keeps the exact
+    all-time contract and O(all-time users) state — choose the horizon
+    a long-running production stream needs."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if retire_after_min is not None and watermark is None:
+        raise ValueError("retire_after_min needs a watermark: event-time "
+                         "timeouts are judged against it")
     src = events
     if watermark is not None:
         src = src.withWatermark("ts", watermark)
+    timeout = (GroupStateTimeout.EventTimeTimeout
+               if retire_after_min is not None
+               else GroupStateTimeout.NoTimeout)
     return (src
             .select("user_id", "ts", "event_id")
             .groupBy("user_id")
             .applyInPandasWithState(
-                _session_fn_factory(gap_min),
+                _session_fn_factory(gap_min, retire_after_min),
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))

@@ -63,6 +63,44 @@ def test_planted_near_dups_found_and_precision_exact(spark):
         assert a < b
 
 
+def test_hot_bucket_split_bounds_candidates(spark):
+    """A planted hot sign-pattern bucket (every vector agrees on band 0
+    — near-dup-heavy corpora cluster by construction) must not go
+    quadratic once ``max_bucket_docs`` is set, and planted true
+    near-dups — which share EVERY band, hence ≥ 2 — must survive the
+    split with identical verified output."""
+    rng = np.random.default_rng(13)
+    vecs = {}
+    for i in range(400):
+        v = rng.normal(size=DIM).astype(np.float32)
+        v[:BAND_BITS] = np.abs(v[:BAND_BITS])  # band 0: all-positive
+        vecs[i] = v
+    for j in range(6):  # near-identical partners: share all 4 bands
+        base = vecs[j]
+        vecs[1000 + j] = base + np.sign(base).astype(np.float32) * 0.01
+    df = _mk_df(spark, vecs).cache()
+
+    unsplit = similarity._emb_band_candidates(
+        df, N_BANDS, BAND_BITS, "vec_id", None).count()
+    split = similarity._emb_band_candidates(
+        df, N_BANDS, BAND_BITS, "vec_id", 50).count()
+    assert unsplit >= 406 * 405 // 2  # the hot bucket went quadratic
+    assert split < unsplit / 20  # bounded by two-band intersections
+
+    kw = dict(threshold=0.95, n_bands=N_BANDS, band_bits=BAND_BITS,
+              round_to=6)
+    got_split = {(r["vec_a"], r["vec_b"], r["cos"])
+                 for r in similarity.embedding_near_dups(
+                     df, max_bucket_docs=50, **kw).collect()}
+    got_plain = {(r["vec_a"], r["vec_b"], r["cos"])
+                 for r in similarity.embedding_near_dups(
+                     df, **kw).collect()}
+    assert got_split == got_plain
+    planted = {(j, 1000 + j) for j in range(6)}
+    assert planted <= {(a, b) for a, b, _ in got_split}
+    df.unpersist()
+
+
 def test_low_threshold_matches_numpy_banding_semantics(spark):
     # random vectors, low threshold: result = banding ∩ verify, NOT the
     # full brute-force pair set (recall is the banding probability by

@@ -55,9 +55,11 @@ def test_simhash_near_dups_on_corpus(spark):
 
 def test_embedding_near_dups(spark, sf_dirs):
     emb = spark.read.parquet(f"{sf_dirs['t1']}/embeddings.parquet")
-    # self-similarity guard: add a duplicated vector
+    # self-similarity guard: add a duplicated vector (routed to the
+    # one canonical implementation, similarity.embedding_near_dups)
     one = emb.limit(1).withColumn("vec_id", F.lit(999_999))
-    rows = dedup.embedding_near_dups(emb.unionByName(one), 0.999).collect()
+    rows = similarity.embedding_near_dups(
+        emb.unionByName(one), threshold=0.999).collect()
     assert any({r["vec_a"], r["vec_b"]} == {0, 999_999} or
                r["cos"] >= 0.999 for r in rows)
 

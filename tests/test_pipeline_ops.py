@@ -65,6 +65,29 @@ class TestPiiScrub:
         assert row["n_ssn"] == 1 and row["n_phone"] == 0
         assert "<SSN>" in row["clean_text"]
 
+    def test_phone_requires_phone_intent(self, spark):
+        # the phone rule must NOT fire on bare digit runs — year lists,
+        # scores, numeric table rows, ISO dates, year ranges (the old
+        # any-8-of-[0-9 ()-] shape corrupted all of these)
+        benign = ["in 2020 2021 2022 the", "score 10 24 36 48 90",
+                  "range 2020-2021 was", "date 2020-01-15 iso",
+                  "date 15-01-2020 eu", "(2020) was a year",
+                  "pages 100 - 200"]
+        d = _docs(spark, list(enumerate(benign)))
+        rows = pii.scrub_pii(d).collect()
+        assert all(r["n_phone"] == 0 for r in rows), rows
+        texts = {r["doc_id"]: r["clean_text"] for r in rows}
+        assert texts == dict(enumerate(benign))
+
+    def test_phone_shapes_still_caught(self, spark):
+        phones = ["tel +1 555 867 5309 end", "(555) 123-4567",
+                  "call 555-123-4567 x", "+49 7071 29570",
+                  "+14155551234", "local 555-0199 line"]
+        d = _docs(spark, list(enumerate(phones)))
+        rows = pii.scrub_pii(d).collect()
+        assert all(r["n_phone"] == 1 for r in rows), rows
+        assert all("<PHONE>" in r["clean_text"] for r in rows)
+
     def test_clean_text_has_no_residual_matches(self, spark):
         d = _docs(spark, [(0, "x@y.example.com 1.2.3.4 999-88-7777 "
                               "(555) 123-4567")])

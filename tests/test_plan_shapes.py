@@ -160,7 +160,12 @@ def test_packing_has_no_corpus_wide_window(spark):
         # every window spec must carry a partition expression before the
         # ordering column (an unpartitioned spec starts with the order col)
         assert ("pid" in spec or "pmod" in spec or "_w" in spec), plan
-    assert "rangepartitioning" in plan, plan
+    # the pid-stamped base is PINNED (eager localCheckpoint) before the
+    # two cumsum subtrees branch off it, so the downstream plan reads a
+    # materialized RDD — the range exchange ran once, inside the
+    # checkpoint, and can never resample different boundaries per branch
+    assert "Scan ExistingRDD" in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_cap_per_stratum_prefilters_before_rank(spark):

@@ -135,3 +135,14 @@ class TestCapPerStratum:
         hi = {r["doc_id"] for r in
               sampling.cap_per_stratum(d, cap=30, salt="s").collect()}
         assert lo <= hi
+
+    def test_zero_candidate_stratum_raises_not_drops(self, spark):
+        # a margin so small the hot stratum's pre-filter leaves ZERO
+        # candidates: the sufficiency check must be driven from the
+        # authoritative counts side (LEFT join, coalesce to 0) — a
+        # check built from the candidate set alone never sees the
+        # stratum at all, passes, and silently drops every row of it
+        d = self._skewed(spark)
+        with pytest.raises(RuntimeError, match="candidates"):
+            sampling.cap_per_stratum(d, cap=1, salt="s",
+                                     margin=1e-6).collect()
