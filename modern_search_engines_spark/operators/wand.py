@@ -52,10 +52,11 @@ class PostingCursor:
     """
 
     __slots__ = ("n", "mult", "block_first", "block_max", "pos",
-                 "_load", "_bi", "_ids", "_scores", "decoded_blocks")
+                 "_load", "_bi", "_ids", "_scores", "decoded_blocks",
+                 "_bulk", "_bulk_at", "_bulked")
 
     def __init__(self, n: int, mult: float, block_first: np.ndarray,
-                 block_max: np.ndarray, load_block):
+                 block_max: np.ndarray, load_block, bulk_load=None):
         self.n = int(n)
         self.mult = float(mult)
         self.block_first = block_first
@@ -66,6 +67,16 @@ class PostingCursor:
         self._ids = None
         self._scores = None
         self.decoded_blocks = 0
+        # adaptive bulk decode: per-block lazy decode wins when pruning
+        # skips most blocks, but a DECODE-HEAVY traversal (low-theta
+        # batch queries that touch most blocks) pays per-block Python/
+        # numpy call overhead ~50x the per-element cost of one whole-
+        # list vectorized pass. Once a cursor has decoded a quarter of
+        # its blocks, the pruning bet has lost — decode the whole list
+        # in one vectorized pass and serve the rest as array slices.
+        self._bulk = bulk_load
+        self._bulk_at = max(4, self.total_blocks >> 2)
+        self._bulked = False
 
     # -- constructors -------------------------------------------------------
 
@@ -73,11 +84,27 @@ class PostingCursor:
     def from_blobs(cls, blobs: dict, mult: float) -> "PostingCursor":
         bf = np.frombuffer(blobs["block_first"], dtype=np.int64)
         bm = np.frombuffer(blobs["block_max"], dtype=np.float64)
+        offs = np.frombuffer(blobs["block_off"], dtype=np.int64)
+        ids_blob = blobs["ids_blob"]
+        scores_blob = blobs["scores_blob"]
+        n = int(blobs["n"])
 
+        # skip tables parsed ONCE here — codec.decompress_block would
+        # re-frombuffer block_off/block_first on every call, a real cost
+        # when a batch of queries decodes hundreds of blocks
         def load(bi: int):
-            return codec.decompress_block(blobs, bi)
+            s = bi * codec.BLOCK
+            e = min(s + codec.BLOCK, n)
+            end = offs[bi + 1] if bi + 1 < offs.size else len(ids_blob)
+            gaps = codec.varint_decode(
+                ids_blob[offs[bi]:end], e - s).astype(np.int64)
+            ids = bf[bi] + np.cumsum(gaps)
+            scores = np.frombuffer(scores_blob, dtype=np.float64,
+                                   offset=8 * s, count=e - s)
+            return ids, scores
 
-        return cls(blobs["n"], mult, bf, bm, load)
+        return cls(n, mult, bf, bm, load,
+                   bulk_load=lambda: codec.decompress(blobs))
 
     @classmethod
     def from_arrays(cls, ids: np.ndarray, scores: np.ndarray, mult: float,
@@ -109,9 +136,25 @@ class PostingCursor:
     def _ensure(self) -> None:
         bi = self.pos // codec.BLOCK
         if bi != self._bi:
+            if (self._bulk is not None
+                    and self.decoded_blocks >= self._bulk_at):
+                ids, scores = self._bulk()
+
+                def load(b, ids=ids, scores=scores):
+                    s = b * codec.BLOCK
+                    return (ids[s:s + codec.BLOCK],
+                            scores[s:s + codec.BLOCK])
+
+                self._load = load
+                self._bulk = None
+                self._bulked = True
+                # the bulk pass really decoded everything — keep the
+                # pruning counter honest
+                self.decoded_blocks = self.total_blocks
             self._ids, self._scores = self._load(bi)
             self._bi = bi
-            self.decoded_blocks += 1
+            if not self._bulked:
+                self.decoded_blocks += 1
 
     def cur_id(self) -> int:
         off = self.pos % codec.BLOCK

@@ -141,6 +141,42 @@ _LEMMA_EXCEPTIONS = {
     # high-frequency -ies words kept from the original table ("ies"→"y"
     # handles them too; pinned so a rule reshuffle can't change them)
     "cities": "city", "queries": "query", "entries": "entry",
+    # -ie stems: the "ies"→"y" rule would mangle these ("movies"→"movy");
+    # WordNet's s-strip candidate is the valid noun
+    "movies": "movie", "cookies": "cookie", "zombies": "zombie",
+    "calories": "calorie", "ties": "tie", "lies": "lie", "pies": "pie",
+    "dies": "die", "goalies": "goalie", "rookies": "rookie",
+    "newbies": "newbie", "hoodies": "hoodie", "selfies": "selfie",
+    "smoothies": "smoothie", "prairies": "prairie", "sorties": "sortie",
+    "genies": "genie", "collies": "collie", "pixies": "pixie",
+    # nltk's shortest-valid-form quirk: lemmatize("species") → "specie"
+    # (both are WordNet nouns; min-by-length wins) — mirrored, not fixed
+    "species": "specie",
+    # more -f/-fe → -ves
+    "dwarves": "dwarf", "sheaves": "sheaf", "wharves": "wharf",
+    "werewolves": "werewolf",
+    # more Latin/Greek plurals (all in WordNet's noun exception list)
+    "addenda": "addendum", "errata": "erratum", "ova": "ovum",
+    "referenda": "referendum", "symposia": "symposium",
+    "aquaria": "aquarium", "stigmata": "stigma",
+    "emphases": "emphasis", "neuroses": "neurosis",
+    "psychoses": "psychosis", "prognoses": "prognosis",
+    "metamorphoses": "metamorphosis",
+    "termini": "terminus", "emeriti": "emeritus", "octopi": "octopus",
+    "hippopotami": "hippopotamus",
+    "apices": "apex", "codices": "codex", "helices": "helix",
+    "cortices": "cortex",
+    # Italian loans
+    "paparazzi": "paparazzo", "graffiti": "graffito",
+    "virtuosi": "virtuoso", "libretti": "libretto",
+    "concerti": "concerto", "tempi": "tempo",
+    # French -eaux
+    "bureaux": "bureau", "tableaux": "tableau", "plateaux": "plateau",
+    "chateaux": "chateau", "gateaux": "gateau",
+    # more -o → -oes
+    "dominoes": "domino", "embargoes": "embargo", "haloes": "halo",
+    # Germanic irregular
+    "brethren": "brother",
 }
 
 # Words the WordNet-backed lemmatizer would return UNCHANGED because
@@ -155,11 +191,13 @@ _LEMMA_KEEP = frozenset("""
 news series lens atlas bias canvas chaos gas alias christmas
 mathematics economics politics athletics gymnastics
 electronics genetics linguistics logistics phonetics robotics
-thermodynamics aerobics forensics
-measles diabetes rabies herpes
-scissors headquarters whereabouts
+thermodynamics aerobics forensics calisthenics
+measles diabetes rabies herpes mumps
+scissors headquarters whereabouts tweezers
+clothes molasses shambles billiards summons
+kudos pathos ethos cosmos corps rendezvous
 always perhaps towards besides sometimes upstairs downstairs
-overseas indoors outdoors alas whereas
+overseas indoors outdoors alas whereas nowadays thereabouts anyways
 """.split())
 
 _LEMMA_RULES = (
@@ -240,6 +278,23 @@ SYNONYMS: dict[str, tuple[str, ...]] = {
     "river": ("stream",),
     "fast": ("quick", "speedy"),
     "query": ("question",),
+    # widened with single-word lemmas of the words' first WordNet noun
+    # synsets (public data, vendored as literals — the T5/WordNet
+    # expansion itself stays a documented stand-in)
+    "car": ("auto", "automobile", "motorcar"),
+    "doctor": ("doc", "physician", "medico"),
+    "movie": ("film", "picture"),
+    "town": ("township",),
+    "student": ("pupil", "educatee"),
+    "teacher": ("instructor",),
+    "lawyer": ("attorney",),
+    "shop": ("store",),
+    "bicycle": ("bike", "wheel", "cycle"),
+    "forest": ("wood", "woods"),
+    "mountain": ("mount",),
+    "rain": ("rainfall",),
+    "snow": ("snowfall",),
+    "road": ("route",),
 }
 
 

@@ -188,3 +188,29 @@ def test_lemmatize_keep_list_survives_s_strip():
     assert textlib.lemmatize("churches") == "church"
     # and the exception table still wins over everything
     assert textlib.lemmatize("leaves") == "leaf"
+
+
+def test_lemmatize_widened_public_tables():
+    """Round-4 widened irregular tables: -ie stems the ies→y rule would
+    mangle, Latin/Greek/Italian/French plurals from WordNet's public
+    noun exception list, and new keep-list members."""
+    from modern_search_engines_spark import textlib
+    for plural, lemma in (
+            ("movies", "movie"), ("cookies", "cookie"), ("ties", "tie"),
+            ("dies", "die"), ("calories", "calorie"),
+            ("selfies", "selfie"),
+            ("errata", "erratum"), ("ova", "ovum"),
+            ("symposia", "symposium"), ("emphases", "emphasis"),
+            ("neuroses", "neurosis"), ("apices", "apex"),
+            ("codices", "codex"), ("helices", "helix"),
+            ("graffiti", "graffito"), ("tempi", "tempo"),
+            ("bureaux", "bureau"), ("plateaux", "plateau"),
+            ("dominoes", "domino"), ("embargoes", "embargo"),
+            ("brethren", "brother"), ("dwarves", "dwarf"),
+            ("werewolves", "werewolf")):
+        assert textlib.lemmatize(plural) == lemma, plural
+    # nltk's shortest-valid-form quirk is mirrored, not "fixed"
+    assert textlib.lemmatize("species") == "specie"
+    for w in ("clothes", "molasses", "kudos", "ethos", "corps",
+              "rendezvous", "billiards", "mumps", "nowadays"):
+        assert textlib.lemmatize(w) == w, w
