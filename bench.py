@@ -232,14 +232,13 @@ def main() -> None:
         # estimates the machine's true floor rather than one phase.
         # Pairs stay SYMMETRIC (every lo sample has a hi sample):
         # sampling one level more often than the other would bias the
-        # floor estimate toward whichever level got more draws.
-        floors = {"lo": float("inf"), "hi": float("inf")}
+        # floor estimate toward whichever level got more draws. All raw
+        # samples are emitted in the JSON so the floor is auditable.
+        samples: dict[str, list[float]] = {"lo": [], "hi": []}
 
         def head_pair(tag: str) -> None:
-            floors["lo"] = min(floors["lo"],
-                               run1(lo, head_path, f"h_lo_{tag}"))
-            floors["hi"] = min(floors["hi"],
-                               run1(hi, head_path, f"h_hi_{tag}"))
+            samples["lo"].append(run1(lo, head_path, f"h_lo_{tag}"))
+            samples["hi"].append(run1(hi, head_path, f"h_hi_{tag}"))
             for t in (f"h_lo_{tag}", f"h_hi_{tag}"):
                 shutil.rmtree(os.path.join(work, f"idx{t}"),
                               ignore_errors=True)
@@ -376,7 +375,32 @@ def main() -> None:
         # final spread sample (~25+ min after the first), then the
         # headline metrics from the 6 spread-out floors
         head_pair("f")
-        t_lo, t_hi = floors["lo"], floors["hi"]
+
+        # corroboration-triggered extra sampling: the headline is a
+        # FLOOR (min per level), so what matters is whether the minimum
+        # is corroborated — a second sample within 10% says the min sits
+        # near the machine's true floor rather than being the one sample
+        # that escaped a degraded phase. While either level's min is
+        # uncorroborated, add a pair (up to two). Triggered by sample
+        # agreement, never by the ratio's value, so it adds precision
+        # without optional stopping on the metric itself. (A plain
+        # max/min variance trigger fires on EVERY run in this sandbox's
+        # weather — measured spreads 1.4-1.6 across 30 minutes — and
+        # just burns 7 minutes re-measuring an already-corroborated min.)
+        def _uncorroborated(v: list[float]) -> bool:
+            s = sorted(v)
+            return s[1] / s[0] > 1.10
+        for extra in ("g", "h"):
+            if not (_uncorroborated(samples["lo"])
+                    or _uncorroborated(samples["hi"])):
+                break
+            head_pair(extra)
+        # raw samples go to a TOP-LEVEL key (the queries map stays
+        # scalar-valued for the driver's parser); n_pairs lands in
+        # queries so cross-round tables can cite the sample count
+        queries["headline_n_pairs"] = len(samples["lo"])
+
+        t_lo, t_hi = min(samples["lo"]), min(samples["hi"])
         # knee documentation, 4->16: local[4] side = the headline hi
         # floor (same corpus, same job config; min-of-6 vs s16's single
         # run — slightly CONSERVATIVE for the ratio, since the floor
@@ -409,6 +433,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "headline_samples": {k: [round(s, 1) for s in v]
+                             for k, v in samples.items()},
         "sf": sf,
     }))
 
