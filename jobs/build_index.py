@@ -9,9 +9,14 @@
 
 The same script runs on a multi-executor cluster (north rule: "runs via
 spark-submit --py-files on multi-executor clusters") — only
---master/executor sizing differ, supplied by spark-submit. Re-running
-with the same --out resumes from the last complete stage. Prints one
-JSON line of per-stage lineage/row/byte metrics.
+--master/executor sizing differ, supplied by spark-submit. NOTE: under
+spark-submit the driver JVM is launched BEFORE get_spark runs, so heap
+sizing must come from spark-submit itself (--driver-memory; the
+builder-conf default only applies when a plain python process launches
+the JVM) — the 1 g spark-submit default OOMs on ~10^5-page corpora.
+Re-running with the same --out resumes from the last complete stage.
+Prints one JSON line of per-stage lineage/row/byte metrics plus
+build_seconds (total build wall, excluding session startup).
 """
 
 from __future__ import annotations
@@ -59,6 +64,8 @@ def main(argv: list[str] | None = None) -> int:
             pages = spark.read.parquet(args.pages)
         else:
             ap.error("one of --pages or --synthetic is required")
+        import time
+        t0 = time.time()
         idx = build_persistent_index(
             spark, pages, args.out, ngram_max=args.ngram_max,
             n_buckets=args.n_buckets, n_salts=args.n_salts,
@@ -66,7 +73,10 @@ def main(argv: list[str] | None = None) -> int:
             n_extract_chunks=args.n_extract_chunks,
             use_doc2query=args.use_doc2query,
             materialize_bm25=args.materialize_bm25, verbose=True)
+        # total build wall (excludes session/JVM startup): the number a
+        # spark-submit N-vs-4N scaling comparison reads directly
         print(json.dumps({"stats": idx["stats"],
+                          "build_seconds": round(time.time() - t0, 3),
                           "stages": idx["writer"].metrics()}))
     finally:
         spark.stop()

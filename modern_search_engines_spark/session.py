@@ -20,8 +20,19 @@ def get_spark(app_name: str = "modern-search-engines-spark",
               master: str | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
-        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    # Under spark-submit the JVM gateway already exists and --master was
+    # decided by the submitter (local[N] here, yarn/k8s on a cluster).
+    # Calling builder.master() there would OVERRIDE the submitted master
+    # with this module's local default — measured: a spark-submit
+    # --master local[1] build ran at local[*] speed, and on a real
+    # cluster the driver would silently fall back to local mode. The
+    # gateway env vars are the reliable launched-by-spark-submit signal.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if under_submit:
+        master = None
+    else:
+        master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     jvm_opts = "-XX:+UseParallelGC"
     # scoped logging config (Spark defaults + a deny filter for the
@@ -32,8 +43,11 @@ def get_spark(app_name: str = "modern-search-engines-spark",
                             "conf", "log4j2.properties")
     if os.path.exists(log_conf):
         jvm_opts += f" -Dlog4j2.configurationFile=file:{log_conf}"
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name).master(master)
+        b
         # -- local-mode heap: everything (driver+executors) lives in one
         #    JVM; the 1g default OOMs on wide token-array rows. Applied at
         #    first JVM launch; later sessions in the same process inherit.

@@ -18,7 +18,8 @@ def test_bench_emits_valid_json_line():
     })
     proc = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True,
-        text=True, timeout=540,
+        text=True, timeout=840,  # worst case: 8 corroboration pairs
+        # (16 builds) in a degraded phase — measured 415 s typical
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
