@@ -314,9 +314,14 @@ def main() -> None:
         queries["wand_query_p50_sec"] = round(statistics.median(lats), 4)
         queries["wand_query_p95_sec"] = round(
             lats[max(0, int(len(lats) * 0.95) - 1)], 4)
-        t0 = time.time()
-        wand.run_wand(spark, BENCH_QUERIES, comp, dim, k=100).collect()
-        queries["wand_batch_20q_sec"] = round(time.time() - t0, 4)
+        best = float("inf")
+        for _ in range(3):  # min-of-3 like the per-query latencies: a
+            # single shot caught a multi-second gVisor stall (2.98 s vs
+            # the same session's 1.5-1.8 s steady state)
+            t0 = time.time()
+            wand.run_wand(spark, BENCH_QUERIES, comp, dim, k=100).collect()
+            best = min(best, time.time() - t0)
+        queries["wand_batch_20q_sec"] = round(best, 4)
 
         # hot serving path (plans/hot.py): same index, same WAND, no
         # Spark job per query — the interactive-latency tier
