@@ -838,6 +838,55 @@ def q_orders_by_segment(spark, sf):
                          .cast("double"), 6).alias("sum_totalprice")))
 
 
+DSIR_BUCKETS = 64
+DSIR_ALPHA = 0.5
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR importance log-weights (Xie et al. 2023): hashed
+    unigram+bigram bucket models, target = lang='en' docs, raw = whole
+    corpus (``operators/dsir.dsir_log_weights``). The twin restates the
+    identical md5-bucket hash, add-alpha smoothing and per-doc sum."""
+    from .operators import dsir
+    return dsir.dsir_log_weights(
+        _docs(spark, sf), F.col("lang") == F.lit("en"),
+        n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA)
+
+
+def q_dup_gram_fraction(spark, sf):
+    """Cross-document duplicated-shingle fraction per doc (Lee et al.
+    2022-style duplicate-n-gram statistics) — flags boilerplate whose
+    content is mostly shared without any single near-dup partner."""
+    from .operators import dedup
+    return dedup.duplicated_gram_fraction(
+        _shingles(spark, sf).cache(), min_df=2)
+
+
+def q_dedup_keep_best(spark, sf):
+    """Canonical representative per near-dup cluster: connected
+    components over the verified jaccard graph, then a distributed
+    argmax (max token count, ties -> min doc_id) — the step that turns
+    pair detection into an actually deduplicated corpus."""
+    from .operators import dedup
+    pairs = _jaccard_pairs(spark, sf).select("doc_a", "doc_b")
+    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+    docs = _docs(spark, sf).select("doc_id")
+    allc = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"))
+    quality = _docs(spark, sf).select(
+        "doc_id", F.size(_tokens_col()).cast("long").alias("score"))
+    return dedup.keep_best_representative(allc, quality)
+
+
+def q_gopher_quality(spark, sf):
+    """Gopher-style composite quality gate (Rae et al. 2021 A1.1):
+    token-count window, mean-word-length window, required-English-word
+    test, duplicate-trigram screen; first failing rule named."""
+    from .operators import quality
+    return quality.gopher_quality_filter(_docs(spark, sf))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL twins
 # ---------------------------------------------------------------------------
@@ -1856,6 +1905,136 @@ GROUP BY c_mktsegment
 """
 
 
+# DSIR twin: identical md5-prefix bucket hash (24 bits mod B), identical
+# add-alpha bucket models, identical per-doc sum. The per-doc sum has
+# <= B float terms in both engines; round-6 absorbs order noise.
+_ORACLE["dsir_weights"] = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id, lang = 'en' AS tgt,
+           ('0x' || substring(md5(gr.g), 1, 6))::BIGINT % {DSIR_BUCKETS}
+               AS b
+    FROM t, unnest(list_concat(
+        toks,
+        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 1),
+                                            ' ')))) AS gr(g)
+),
+pd AS (SELECT doc_id, tgt, b, count(*) AS c FROM g GROUP BY doc_id, tgt, b),
+model AS (
+    SELECT b, sum(c) AS raw,
+           sum(CASE WHEN tgt THEN c ELSE 0 END) AS tc
+    FROM pd GROUP BY b
+),
+tot AS (SELECT sum(raw) AS r, sum(tc) AS t FROM model),
+lam AS (
+    SELECT b,
+           ln((tc + {DSIR_ALPHA}) / (t + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+         - ln((raw + {DSIR_ALPHA}) / (r + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+               AS lam
+    FROM model, tot
+),
+sc AS (
+    SELECT doc_id, round(sum(c * lam), 6) AS log_weight
+    FROM pd JOIN lam USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sc.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+_ORACLE["dup_gram_fraction"] = f"""
+WITH {_SHINGLE_SQL},
+dfc AS (SELECT sh AS k, count(*) AS df FROM sh GROUP BY sh)
+SELECT s.doc_id, count(*) AS n_shingles,
+       round(sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dup_fraction
+FROM sh s JOIN dfc ON dfc.k = s.sh
+GROUP BY s.doc_id
+"""
+
+# keep-best twin: the dedup_components recursive CTE extended with a
+# per-component argmax (max n_tokens, ties -> min doc_id)
+_ORACLE["dedup_keep_best"] = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+{_PAIRS_SQL},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(n, m) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e.v, r.m FROM reach r JOIN edges e ON e.u = r.n
+),
+comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+allc AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+q AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+               AS score
+    FROM documents
+),
+j AS (SELECT a.component, a.doc_id, q.score
+      FROM allc a JOIN q ON q.doc_id = a.doc_id),
+best AS (SELECT component, max(score) AS s FROM j GROUP BY component)
+SELECT j.component,
+       min(CASE WHEN j.score = b.s THEN j.doc_id END) AS keep_doc_id,
+       b.s AS keep_score,
+       count(*) AS n_members
+FROM j JOIN best b ON b.component = j.component
+GROUP BY j.component, b.s
+"""
+
+_gq_req = ", ".join(f"'{w}'" for w in (
+    "the", "be", "to", "of", "and", "that", "have", "with"))
+_ORACLE["gopher_quality"] = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN round(list_sum(list_transform(toks, x -> len(x)))
+                           * 1.0 / len(toks), 6)
+                ELSE 0.0 END AS avg_len,
+           len(list_filter([{_gq_req}],
+                           w -> list_contains(toks, w))) AS req_hits,
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [] END AS tg
+    FROM t
+),
+r AS (
+    SELECT doc_id, n_tokens, avg_len, req_hits,
+           CASE WHEN len(tg) > 0
+                THEN round(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 6)
+                ELSE 0.0 END AS rep
+    FROM m
+),
+flagged AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 'n_tokens'
+                WHEN avg_len < 3.0 OR avg_len > 10.0 THEN 'avg_token_len'
+                WHEN req_hits < 2 THEN 'required_words'
+                WHEN rep > 0.2 THEN 'rep_ratio'
+                END AS fail_reason
+    FROM r
+)
+SELECT doc_id, n_tokens, fail_reason IS NULL AS keep, fail_reason
+FROM flagged
+"""
+
+
 # ---------------------------------------------------------------------------
 # Public contract
 # ---------------------------------------------------------------------------
@@ -1908,6 +2087,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_metrics": q_eval_metrics,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "orders_by_segment": q_orders_by_segment,
+    "dsir_weights": q_dsir_weights,
+    "dup_gram_fraction": q_dup_gram_fraction,
+    "dedup_keep_best": q_dedup_keep_best,
+    "gopher_quality": q_gopher_quality,
 }
 
 

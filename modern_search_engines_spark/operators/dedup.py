@@ -365,3 +365,64 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
 # full-vector-bucket variant here was removed: two near-same-named
 # operators with different recall contracts were a user trap, and the
 # multi-band one strictly dominates on recall at equal cost.
+
+
+def duplicated_gram_fraction(shingles: DataFrame,
+                             id_col: str = "doc_id",
+                             sh_col: str = "sh",
+                             min_df: int = 2) -> DataFrame:
+    """(id_col, n_shingles, dup_fraction) — the fraction of a document's
+    distinct shingles that also occur in >= ``min_df`` documents
+    corpus-wide. The cross-document cousin of
+    quality.repetition_ratio_expr (which is intra-document): a high
+    value flags template/boilerplate pages whose *content* is mostly
+    shared even when no single other document is a near-duplicate —
+    exactly the tail that pairwise dedup (jaccard/minhash/simhash)
+    misses. Inspired by the duplicate-n-gram statistics of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better").
+
+    100-TB shape: one map-side-combinable groupBy for shingle df, one
+    shuffle join back on the shingle key, one groupBy per doc. A
+    ubiquitous shingle contributes one df row and a wide-but-flat join
+    group — never a self-join blow-up (there is no pair output here).
+    """
+    df = (shingles.groupBy(sh_col)
+          .agg(F.count(F.lit(1)).alias("__df")))
+    tagged = shingles.join(df, sh_col)
+    return (tagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.round(
+                     F.sum(F.when(F.col("__df") >= min_df, 1)
+                           .otherwise(0)).cast("double")
+                     / F.count(F.lit(1)), 6).alias("dup_fraction")))
+
+
+def keep_best_representative(components: DataFrame, quality: DataFrame,
+                             comp_col: str = "component",
+                             id_col: str = "doc_id",
+                             score_col: str = "score") -> DataFrame:
+    """(component, keep_doc_id, keep_score, n_members) — pick ONE
+    canonical document per near-duplicate cluster: the highest
+    ``score_col`` (longest / highest-quality), ties broken by smallest
+    id so the choice is deterministic on any engine or layout.
+
+    This is the step that turns the pair/component machinery
+    (jaccard_near_dups → connected_components) into an actual
+    deduplicated corpus: keep the representative, drop the rest.
+
+    100-TB shape: a single map-side-combinable max-of-struct
+    aggregation per component — no window over the corpus, no sort.
+    The (score, -id) struct max is the distributed argmax; a
+    corpus-wide row_number() would range-shuffle every row instead.
+    """
+    j = components.join(quality, id_col).select(
+        comp_col,
+        F.struct(F.col(score_col).alias("s"),
+                 (-F.col(id_col)).alias("negid")).alias("__best"))
+    return (j.groupBy(comp_col)
+            .agg(F.max("__best").alias("b"),
+                 F.count(F.lit(1)).alias("n_members"))
+            .select(comp_col,
+                    (-F.col("b.negid")).alias("keep_doc_id"),
+                    F.col("b.s").alias("keep_score"),
+                    "n_members"))

@@ -92,3 +92,54 @@ def doc_quality(docs: DataFrame, text_col: str = "text",
         repetition_ratio_expr(toks).alias("rep_ratio"),
         lang_guess_expr(toks).alias("lang_guess"),
     )
+
+
+# Gopher rules (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+# Appendix A1.1) — the published word-level subset that needs no
+# symbol/ellipsis census: token-count window, mean-word-length window,
+# and the required-English-word test. The 8-word list is verbatim from
+# the paper; rep_ratio adds the within-doc duplicate-trigram screen in
+# the same spirit as the paper's duplicate-line fractions.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that",
+                         "have", "with")
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 50, 100_000
+GOPHER_MIN_AVG_LEN, GOPHER_MAX_AVG_LEN = 3.0, 10.0
+GOPHER_MIN_REQUIRED_HITS = 2
+GOPHER_MAX_REP_RATIO = 0.2
+
+
+def gopher_quality_filter(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, keep, fail_reason) — Gopher-style composite
+    quality gate. ``fail_reason`` names the FIRST failing rule in the
+    fixed order (n_tokens, avg_token_len, required_words, rep_ratio) or
+    is NULL when the document passes; ``keep`` is the conjunction. The
+    document set is preserved (flag, don't drop) so the caller decides
+    whether to filter, stratify, or audit.
+
+    Pure JVM column expressions over one token-array projection — a
+    map-only pass, zero shuffle, same 100-TB shape as doc_quality."""
+    d = docs.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    avg_len = avg_token_len_expr(toks)
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    # count of required words PRESENT (each word counts once no matter
+    # how often it occurs) — filter the 8-word list, not the document,
+    # so the expression is O(8) per doc and restates 1:1 in ANSI SQL
+    req_hits = F.size(F.filter(req, lambda w: F.array_contains(toks, w)))
+    rep = repetition_ratio_expr(toks)
+    reason = (
+        F.when((n < GOPHER_MIN_TOKENS) | (n > GOPHER_MAX_TOKENS),
+               F.lit("n_tokens"))
+        .when((avg_len < GOPHER_MIN_AVG_LEN)
+              | (avg_len > GOPHER_MAX_AVG_LEN), F.lit("avg_token_len"))
+        .when(req_hits < GOPHER_MIN_REQUIRED_HITS,
+              F.lit("required_words"))
+        .when(rep > GOPHER_MAX_REP_RATIO, F.lit("rep_ratio"))
+        .otherwise(F.lit(None).cast("string")))
+    return d.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        reason.isNull().alias("keep"),
+        reason.alias("fail_reason"))
