@@ -59,6 +59,7 @@ CONTRACT_BENCH = (
     "events_user_topk", "events_sessions", "tpch_pricing_summary",
     "line_dedup", "pii_scrub", "decontam_hits", "pack_sequences",
     "cap_per_source",
+    "dsir_weights", "dup_gram_fraction", "gopher_quality", "span_dedup",
 )
 
 

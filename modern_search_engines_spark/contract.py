@@ -879,6 +879,23 @@ def q_dedup_keep_best(spark, sf):
     return dedup.keep_best_representative(allc, quality)
 
 
+SPAN_K = 20  # contract span length: long enough to be a real passage,
+# short enough that the 10-99-token synthetic docs exercise the merge
+
+
+def q_span_dedup(spark, sf):
+    """ExactSubstr duplicate-span removal (Lee et al. 2022): every
+    20-token span occurring >= 2 times corpus-wide survives only at its
+    (doc_id, pos)-first occurrence (``operators/spandedup``). The twin
+    restates winner choice as row_number over (doc_id, pos) and span
+    removal as an interval anti-join; cleaned text is md5-compared."""
+    from .operators import spandedup
+    out = spandedup.remove_duplicate_spans(_docs(spark, sf), k=SPAN_K)
+    return out.select(
+        "doc_id", "n_tokens_before", "n_tokens_after",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"))
+
+
 def q_gopher_quality(spark, sf):
     """Gopher-style composite quality gate (Rae et al. 2021 A1.1):
     token-count window, mean-word-length window, required-English-word
@@ -1990,6 +2007,67 @@ FROM j JOIN best b ON b.component = j.component
 GROUP BY j.component, b.s
 """
 
+# span-dedup twin: identical k-grams and winner order; merged remove
+# intervals via the classic lag/cumulative-sum island trick; kept
+# tokens via interval anti-join; text rebuilt position-ordered
+_ORACLE["span_dedup"] = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+occ AS (
+    SELECT doc_id, u.i AS pos,
+           md5(array_to_string(list_slice(toks, u.i, u.i + {SPAN_K} - 1),
+                               ' ')) AS g
+    FROM t, unnest(range(1, greatest(len(toks) - {SPAN_K} + 1, 0) + 1))
+         AS u(i)
+),
+r AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM occ
+),
+losers AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) > {SPAN_K}
+                     OR lag(pos) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) IS NULL
+                THEN 1 ELSE 0 END AS is_start
+    FROM losers
+),
+grp AS (
+    SELECT doc_id, pos,
+           sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+    FROM marked
+),
+iv AS (SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_K} AS e
+       FROM grp GROUP BY doc_id, gid),
+tokpos AS (
+    SELECT doc_id, u.pos AS pos, toks[u.pos] AS tok
+    FROM t, unnest(range(1, len(toks) + 1)) AS u(pos)
+),
+kept AS (
+    SELECT tp.doc_id, tp.pos, tp.tok
+    FROM tokpos tp
+    WHERE NOT EXISTS (SELECT 1 FROM iv
+                      WHERE iv.doc_id = tp.doc_id
+                        AND tp.pos >= iv.s AND tp.pos < iv.e)
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_after,
+           string_agg(tok, ' ' ORDER BY pos) AS clean
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.toks)::BIGINT AS n_tokens_before,
+       coalesce(a.n_after, 0)::BIGINT AS n_tokens_after,
+       md5(coalesce(a.clean, '')) AS clean_md5
+FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
 _gq_req = ", ".join(f"'{w}'" for w in (
     "the", "be", "to", "of", "and", "that", "have", "with"))
 _ORACLE["gopher_quality"] = f"""
@@ -2091,6 +2169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_gram_fraction": q_dup_gram_fraction,
     "dedup_keep_best": q_dedup_keep_best,
     "gopher_quality": q_gopher_quality,
+    "span_dedup": q_span_dedup,
 }
 
 

@@ -127,3 +127,54 @@ def test_gopher_rule_order_names_first_failure(spark):
     # fails BOTH n_tokens and required_words -> n_tokens is named
     r = _gopher(spark, "zz qq")
     assert r["fail_reason"] == "n_tokens"
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def _span(spark, rows, k):
+    from modern_search_engines_spark.operators import spandedup
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = spandedup.remove_duplicate_spans(df, k=k)
+    return {r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"],
+                          r["clean_text"]) for r in out.collect()}
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    got = _span(spark, [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d z w"),
+        (3, "a b c d a b c d q"),   # loses twice -> merged removal
+        (4, "unique tokens only here"),
+        (5, ""),
+    ], k=4)
+    assert got[1] == (8, 8, "a b c d e f g h")  # winner keeps the span
+    assert got[2] == (8, 4, "x y z w")
+    assert got[3] == (9, 1, "q")    # [1,5)+[5,9) merge into [1,9)
+    assert got[4] == (4, 4, "unique tokens only here")
+    assert got[5] == (0, 0, "")
+
+
+def test_span_dedup_interval_merge_boundaries(spark):
+    # doc 2 duplicates doc 1's k-gram at positions 1 and exactly 1+k:
+    # touching intervals must merge into one removal, and a gap of
+    # k+1 must NOT merge (the middle token survives)
+    k = 3
+    got = _span(spark, [
+        (1, "a b c"),
+        (2, "a b c a b c tail"),       # touching: [1,4) + [4,7)
+        (3, "a b c q a b c"),          # gap: [1,4) + [5,8), q kept
+    ], k=k)
+    assert got[2] == (7, 1, "tail")
+    assert got[3] == (7, 1, "q")
+
+
+def test_span_dedup_layout_independent(spark):
+    from modern_search_engines_spark.operators import spandedup
+    rows = [(i, f"common prefix tokens here {i} suffix run") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = spandedup.remove_duplicate_spans(df, k=4)
+    b = spandedup.remove_duplicate_spans(df.repartition(7, "text"), k=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
