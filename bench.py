@@ -60,6 +60,7 @@ CONTRACT_BENCH = (
     "line_dedup", "pii_scrub", "decontam_hits", "pack_sequences",
     "cap_per_source",
     "dsir_weights", "dup_gram_fraction", "gopher_quality", "span_dedup",
+    "c4_filters", "url_dedup", "semdedup",
 )
 
 

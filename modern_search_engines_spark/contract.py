@@ -904,6 +904,102 @@ def q_gopher_quality(spark, sf):
     return quality.gopher_quality_filter(_docs(spark, sf))
 
 
+_C4_CHUNK = 6
+
+
+def _c4_messy_text_expr():
+    """Deterministic line structure injected into the flat synthetic
+    documents IN BOTH ENGINES (the synthetic corpus has no newlines or
+    punctuation, so the contract instance builds its own): 6-token
+    lines with a period on 2/3 of them keyed by (doc_id + line index),
+    plus planted lorem-ipsum / brace / javascript / bad-word lines on
+    doc_id strides 17/19/23/29 so every C4 page rule fires at sf0.01."""
+    toks = _tokens_col()
+    did = F.col("doc_id")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_C4_CHUNK))).cast("int")
+    chunks = F.when(n_chunks >= 1, F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(toks, (i - 1) * _C4_CHUNK + 1,
+                                     _C4_CHUNK)),
+            F.when((did + i) % 3 != 0, F.lit("."))
+            .otherwise(F.lit(""))))).otherwise(
+                F.array().cast("array<string>"))
+
+    def _extra(stride: int, line: str):
+        return F.when(did % stride == 0, F.array(F.lit(line))
+                      ).otherwise(F.array().cast("array<string>"))
+
+    lines = F.concat(
+        chunks,
+        _extra(17, "lorem ipsum dolor sit amet."),
+        _extra(19, "function() { return 1; }"),
+        _extra(23, "please enable javascript to view comments here."),
+        _extra(29, "win big at the casino tonight folks."))
+    return F.concat_ws("\n", lines)
+
+
+def q_c4_filters(spark, sf):
+    """C4 page/line cleaning rules (Raffel et al. 2020 §2.2) over the
+    deterministically line-structured corpus (``_c4_messy_text_expr``
+    restated 1:1 in the oracle): terminal-punctuation / min-words /
+    javascript line rules shape the kept text (md5-compared), and the
+    lorem-ipsum / brace / bad-word / min-sentences page rules set
+    keep + first-failing fail_reason."""
+    from .operators import c4filters
+    docs = _docs(spark, sf).select(
+        "doc_id", _c4_messy_text_expr().alias("text"))
+    return c4filters.c4_quality_filters(docs)
+
+
+def _messy_url_expr():
+    """Six deterministic URL spellings per id-group (doc_id stride 6):
+    uppercase scheme/host + default port + doubled slash + utm param,
+    a fragment variant, a www variant, a :443 + trailing-slash variant,
+    a tracking-params variant, and one unparsable string — groups 0/1/4
+    and 2/3 canonicalize together, 5 stays NULL-keyed."""
+    k = F.floor(F.col("doc_id") / 6).cast("string")
+    v = F.col("doc_id") % 6
+    return (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP://Example.COM:80/a//b?utm_source=x&id="), k))
+        .when(v == 1, F.concat(
+            F.lit("http://example.com/a/b?id="), k, F.lit("#frag")))
+        .when(v == 2, F.concat(
+            F.lit("https://www.example.com/a/b/"), k))
+        .when(v == 3, F.concat(
+            F.lit("https://example.com:443/a/b/"), k, F.lit("/")))
+        .when(v == 4, F.concat(
+            F.lit("http://example.com/a/b?id="), k,
+            F.lit("&utm_campaign=z&gclid=1")))
+        .otherwise(F.concat(F.lit("not a url "), k)))
+
+
+def q_url_dedup(spark, sf):
+    """URL canonicalization (RFC 3986 + crawl-pipeline extras: fragment
+    strip, case, default port, www, slash collapse, tracking-param drop,
+    param sort) and first-occurrence dedup by canonical URL."""
+    from .operators import urlnorm
+    d = _docs(spark, sf).select("doc_id", _messy_url_expr().alias("url"))
+    return urlnorm.dedup_by_canonical_url(d)
+
+
+SEMDEDUP_THR = 0.30  # sf0.01: splits 95/405 with 1.9e-4 margin to the
+# nearest within-label cosine — safe under 6dp rounding in both engines
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): within each pre-computed cluster
+    (the embeddings table's ``label``), a vector is a semantic dup if a
+    lower-id same-cluster vector has cosine >= 0.30; dup_of = smallest
+    such id. Twin restates the within-label pair scan + min-aggregation
+    with DuckDB list_cosine_similarity."""
+    from .operators import similarity
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return similarity.semdedup(emb, threshold=SEMDEDUP_THR,
+                               cluster_col="label", round_to=6)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL twins
 # ---------------------------------------------------------------------------
@@ -2112,6 +2208,170 @@ SELECT doc_id, n_tokens, fail_reason IS NULL AS keep, fail_reason
 FROM flagged
 """
 
+# c4 twin: the same deterministic line construction, then the same line
+# rules (terminal punct / >=5 words / no javascript) and page rules
+# (lorem ipsum / brace / bad word / >=3 sentences, first failure named)
+_c4_term_re = '[.!?]["”\']?$'.replace("'", "''")
+_c4_bad = ", ".join(f"'{w}'" for w in ("casino", "viagra", "xxx"))
+_ORACLE["c4_filters"] = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+built AS (
+    SELECT doc_id, list_concat(list_concat(list_concat(list_concat(
+        list_transform(
+            range(1, cast(ceil(len(toks) / {float(_C4_CHUNK)}) AS INT) + 1),
+            i -> array_to_string(
+                     list_slice(toks, (i - 1) * {_C4_CHUNK} + 1,
+                                (i - 1) * {_C4_CHUNK} + {_C4_CHUNK}), ' ')
+                 || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+        CASE WHEN doc_id % 17 = 0
+             THEN ['lorem ipsum dolor sit amet.']
+             ELSE []::VARCHAR[] END),
+        CASE WHEN doc_id % 19 = 0
+             THEN ['function() {{ return 1; }}']
+             ELSE []::VARCHAR[] END),
+        CASE WHEN doc_id % 23 = 0
+             THEN ['please enable javascript to view comments here.']
+             ELSE []::VARCHAR[] END),
+        CASE WHEN doc_id % 29 = 0
+             THEN ['win big at the casino tonight folks.']
+             ELSE []::VARCHAR[] END) AS lines0
+    FROM t
+),
+-- DuckDB array_to_string([]) is NULL where Spark concat_ws is '' —
+-- coalesce both join points
+m AS (SELECT doc_id, coalesce(array_to_string(lines0, chr(10)), '')
+             AS text FROM built),
+l AS (
+    SELECT doc_id, text,
+           list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+    FROM m
+),
+k AS (
+    SELECT doc_id, text, lines,
+           list_filter(lines,
+               ln -> regexp_matches(ln, '{_c4_term_re}')
+                     AND len(list_filter(string_split(ln, ' '),
+                                         w -> w <> '')) >= 5
+                     AND NOT contains(lower(ln), 'javascript')) AS kept
+    FROM l
+),
+c AS (
+    SELECT doc_id, text, lines, kept,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean
+    FROM k
+),
+s AS (
+    SELECT doc_id, lines, kept, clean,
+           len(regexp_split_to_array(clean, '[.!?]')) - 1 AS n_sent,
+           CASE WHEN contains(lower(text), 'lorem ipsum')
+                     THEN 'lorem_ipsum'
+                WHEN contains(text, '{{') THEN 'brace'
+                WHEN list_has_any(
+                         list_filter(regexp_split_to_array(lower(text),
+                                                           '\\s+'),
+                                     w -> w <> ''),
+                         [{_c4_bad}]) THEN 'bad_word'
+                WHEN len(regexp_split_to_array(clean, '[.!?]')) - 1 < 3
+                     THEN 'n_sentences'
+                ELSE NULL END AS fail_reason
+    FROM c
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_lines_kept,
+       n_sent::BIGINT AS n_sentences,
+       fail_reason IS NULL AS keep,
+       fail_reason,
+       md5(clean) AS clean_md5
+FROM s
+"""
+
+# url twin: identical six messy spellings, the same regex
+# decomposition / normalization steps, min-id winner per canonical key.
+# DuckDB regexp_replace is first-match-only -> 'g' flag on the
+# slash-collapse (Spark's regexp_replace is always global).
+_URL_RE = "^(?i)([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?.*$"
+_ORACLE["url_dedup"] = f"""
+WITH m AS (
+    SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN 'HTTP://Example.COM:80/a//b?utm_source=x&id='
+                      || (doc_id // 6)::VARCHAR
+          WHEN 1 THEN 'http://example.com/a/b?id='
+                      || (doc_id // 6)::VARCHAR || '#frag'
+          WHEN 2 THEN 'https://www.example.com/a/b/'
+                      || (doc_id // 6)::VARCHAR
+          WHEN 3 THEN 'https://example.com:443/a/b/'
+                      || (doc_id // 6)::VARCHAR || '/'
+          WHEN 4 THEN 'http://example.com/a/b?id='
+                      || (doc_id // 6)::VARCHAR || '&utm_campaign=z&gclid=1'
+          ELSE 'not a url ' || (doc_id // 6)::VARCHAR
+        END AS url
+    FROM documents
+),
+parts AS (
+    SELECT doc_id,
+           lower(regexp_extract(url, '{_URL_RE}', 1)) AS scheme,
+           lower(regexp_extract(url, '{_URL_RE}', 2)) AS auth,
+           regexp_extract(url, '{_URL_RE}', 3) AS path,
+           regexp_extract(url, '{_URL_RE}', 4) AS query
+    FROM m
+),
+norm AS (
+    SELECT doc_id, scheme,
+           CASE WHEN scheme = 'http'
+                THEN regexp_replace(regexp_replace(auth, '^www\\.', ''),
+                                    ':80$', '')
+                WHEN scheme = 'https'
+                THEN regexp_replace(regexp_replace(auth, '^www\\.', ''),
+                                    ':443$', '')
+                ELSE regexp_replace(auth, '^www\\.', '') END AS host,
+           regexp_replace(regexp_replace(path, '/{{2,}}', '/', 'g'),
+                          '/+$', '') AS cpath,
+           array_to_string(list_sort(list_filter(string_split(query, '&'),
+               p -> p <> '' AND NOT regexp_matches(
+                        p, '^(utm_[^=]*|gclid|fbclid)(=.*)?$'))),
+               '&') AS qs
+    FROM parts
+),
+canon AS (
+    SELECT doc_id,
+           CASE WHEN scheme <> ''
+                THEN scheme || '://' || host || cpath
+                     || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                END AS canonical_url
+    FROM norm
+),
+w AS (
+    SELECT canonical_url, min(doc_id) AS winner
+    FROM canon WHERE canonical_url IS NOT NULL GROUP BY canonical_url
+)
+SELECT c.doc_id, c.canonical_url,
+       (w.winner IS NULL OR w.winner = c.doc_id) AS keep,
+       (CASE WHEN w.winner <> c.doc_id THEN w.winner END)::BIGINT AS dup_of
+FROM canon c LEFT JOIN w ON w.canonical_url = c.canonical_url
+"""
+
+_ORACLE["semdedup"] = f"""
+WITH p AS (
+    SELECT a.vec_id AS v, min(b.vec_id) AS dup_of
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id > b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6)
+          >= {SEMDEDUP_THR}
+    GROUP BY a.vec_id
+)
+SELECT e.vec_id, e.label,
+       p.v IS NULL AS keep,
+       p.dup_of::BIGINT AS dup_of
+FROM embeddings e LEFT JOIN p ON p.v = e.vec_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # Public contract
@@ -2170,6 +2430,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "gopher_quality": q_gopher_quality,
     "span_dedup": q_span_dedup,
+    "c4_filters": q_c4_filters,
+    "url_dedup": q_url_dedup,
+    "semdedup": q_semdedup,
 }
 
 

@@ -255,3 +255,57 @@ def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
     scored = (assigned.where(F.col("list_id").isin(lists))
               .select("vec_id", cos.alias("cos")))
     return ranked_topk(scored, _order(), k, key_col="vec_id")
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.9,
+             cluster_col: str = "label", id_col: str = "vec_id",
+             round_to: int = 6,
+             max_cluster_docs: int | None = None) -> DataFrame:
+    """(id, <cluster_col>, keep, dup_of) — SemDeDup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): within each pre-computed cluster, a vector is a
+    semantic duplicate if some LOWER-id vector in the same cluster has
+    cosine >= ``threshold``; ``dup_of`` is the smallest such id (NULL on
+    keepers). Dominated-by-any-earlier is a single deterministic pass —
+    the paper's keep-one-per-near-dup-group policy with the same
+    id-ordered tie-break as the exact/minhash/simhash family.
+
+    Cluster assignments come in as a column (the paper k-means them with
+    k ≈ sqrt(N); ``train_ivf``/``assign_lists`` produce exactly such a
+    column when none exists — the `embeddings` table ships `label`).
+
+    100-TB shape: ONE shuffle on the cluster key, then an exact
+    within-cluster pair scan — quadratic in cluster size BY DESIGN
+    (SemDeDup's k is chosen so clusters stay ~sqrt-sized; this is the
+    verify stage, not a banding stage). ``max_cluster_docs`` is the
+    loud guard for skewed clusterings: when set, the operator counts
+    cluster sizes first (one cheap aggregate) and raises instead of
+    launching a quadratic job on a degenerate cluster — re-cluster or
+    band (``embedding_near_dups``) instead.
+    """
+    if max_cluster_docs is not None:
+        over = (emb.groupBy(cluster_col)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > max_cluster_docs)
+                .limit(1).collect())
+        if over:
+            raise ValueError(
+                f"semdedup: cluster {over[0][0]} has {over[0][1]} > "
+                f"max_cluster_docs={max_cluster_docs} vectors — the "
+                "within-cluster pair scan would be quadratic in it; "
+                "re-cluster finer or use embedding_near_dups banding")
+    base = emb.select(F.col(id_col), F.col(cluster_col), "embedding")
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(_cos_pair_expr(F.col("a.embedding"),
+                                 F.col("b.embedding")), round_to)
+    dominated = (
+        a.join(b, (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
+               & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
+        .where(cos >= threshold)
+        .groupBy(F.col(f"a.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"b.{id_col}")).alias("__dup")))
+    out = base.drop("embedding").join(dominated, id_col, "left")
+    return out.select(
+        id_col, cluster_col,
+        F.col("__dup").isNull().alias("keep"),
+        F.col("__dup").cast("long").alias("dup_of"))
