@@ -1000,6 +1000,27 @@ def q_semdedup(spark, sf):
                                cluster_col="label", round_to=6)
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style LM quality score (Wenzek et al. 2020): add-k bigram
+    LM self-trained on the corpus, per-doc mean negative log-likelihood
+    + perplexity. Twin restates counts/smoothing/ln in SQL."""
+    from .operators import lmfilter
+    return lmfilter.lm_score(_docs(spark, sf))
+
+
+def q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail: per-language 30/70 exact-percentile
+    split of the LM nll (head = best). Twin uses quantile_cont, which
+    matches Spark's exact ``percentile`` linear interpolation."""
+    from .operators import lmfilter
+    docs = _docs(spark, sf)
+    scored = (docs.select("doc_id", "lang")
+              .join(lmfilter.lm_score(docs).select("doc_id", "nll"),
+                    "doc_id"))
+    return lmfilter.perplexity_buckets(scored).select(
+        "doc_id", "lang", "nll", "bucket")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL twins
 # ---------------------------------------------------------------------------
@@ -2372,6 +2393,64 @@ SELECT e.vec_id, e.label,
 FROM embeddings e LEFT JOIN p ON p.v = e.vec_id
 """
 
+# lm twin: identical add-k bigram LM (k=0.5) — same per-(doc,gram)
+# integer pre-aggregation so the float sum has the same terms in both
+# engines, same ln((n12+k)/(n1+kV)) formula shape as the dsir twin
+_LM_SCORED = """
+t AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, list_extract(toks, i) AS w1,
+           list_extract(toks, i + 1) AS w2
+    FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS r(i)
+),
+pd AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY doc_id, w1, w2),
+tb AS (SELECT w1, w2, sum(c) AS n12 FROM pd GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(n12) AS n1 FROM tb GROUP BY w1),
+v AS (SELECT count(DISTINCT tok) AS vocab
+      FROM t, unnest(toks) AS u(tok)),
+sc AS (
+    SELECT doc_id, sum(c) AS n_bigrams,
+           round(-sum(c * ln((coalesce(n12, 0) + 0.5)
+                             / (coalesce(n1, 0) + 0.5 * vocab)))
+                 / sum(c), 6) AS nll
+    FROM pd LEFT JOIN tb USING (w1, w2) LEFT JOIN ctx USING (w1), v
+    GROUP BY doc_id
+)
+"""
+
+_ORACLE["lm_perplexity"] = f"""
+WITH {_LM_SCORED}
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       sc.nll,
+       round(exp(sc.nll), 2) AS ppl
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+_ORACLE["ccnet_buckets"] = f"""
+WITH {_LM_SCORED},
+scored AS (
+    -- lm_score emits EVERY doc (nll NULL when < 2 tokens)
+    SELECT d.doc_id, d.lang, sc.nll
+    FROM documents d LEFT JOIN sc USING (doc_id)
+),
+thr AS (
+    SELECT lang, quantile_cont(nll, 0.3) AS t_lo,
+           quantile_cont(nll, 0.7) AS t_hi
+    FROM scored WHERE nll IS NOT NULL GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.nll,
+       CASE WHEN s.nll IS NULL THEN NULL
+            WHEN s.nll <= t.t_lo THEN 'head'
+            WHEN s.nll <= t.t_hi THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s LEFT JOIN thr t USING (lang)
+"""
+
 
 # ---------------------------------------------------------------------------
 # Public contract
@@ -2433,6 +2512,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_filters": q_c4_filters,
     "url_dedup": q_url_dedup,
     "semdedup": q_semdedup,
+    "lm_perplexity": q_lm_perplexity,
+    "ccnet_buckets": q_ccnet_buckets,
 }
 
 
