@@ -8,12 +8,15 @@
         [--max-shingle-df 10000] [--id-col doc_id] [--text-col text] \
         [--transitive] [--evalset /data/eval_parquet] [--decontam-n 8] \
         [--drop-dup-lines] [--scrub-pii] [--per-source-cap N] \
-        [--strata-col source]
+        [--strata-col source] [--dedup-urls] [--url-col url] \
+        [--c4-rules] [--ppl-keep head,middle] [--lang-col lang]
 
 documents → doc_stats → doc_status → clean [→ curated] (each an
 atomic, resumable stage commit — plans/clean.py; the curated stage runs
-when any curation flag is set: eval-set decontamination → corpus line
-dedup → PII scrub → per-source quota cap). Prints one JSON line:
+when any curation flag is set: canonical-URL dedup → C4 page/line
+rules → eval-set decontamination → corpus line dedup → PII scrub →
+CCNet perplexity-bucket gate → per-source quota cap). Prints one JSON
+line:
 per-status counts + per-stage metrics. Re-running with the same --out
 resumes.
 """
@@ -54,6 +57,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--scrub-pii", action="store_true")
     ap.add_argument("--per-source-cap", type=int, default=None)
     ap.add_argument("--strata-col", default="source")
+    ap.add_argument("--dedup-urls", action="store_true",
+                    help="drop canonical-URL duplicates (urlnorm)")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="C4 line rules rewrite text; page rules drop")
+    ap.add_argument("--ppl-keep", default=None,
+                    help="comma-separated CCNet buckets to keep "
+                         "(e.g. head,middle); enables the LM gate")
+    ap.add_argument("--lang-col", default="lang")
     args = ap.parse_args(argv)
 
     from modern_search_engines_spark.plans.clean import clean_corpus
@@ -78,7 +90,12 @@ def main(argv: list[str] | None = None) -> int:
             drop_dup_lines=args.drop_dup_lines,
             scrub_pii=args.scrub_pii,
             per_source_cap=args.per_source_cap,
-            strata_col=args.strata_col, verbose=True)
+            strata_col=args.strata_col,
+            dedup_urls=args.dedup_urls, url_col=args.url_col,
+            c4_rules=args.c4_rules,
+            ppl_keep=(tuple(args.ppl_keep.split(","))
+                      if args.ppl_keep else None),
+            lang_col=args.lang_col, verbose=True)
         print(json.dumps({"summary": res["summary"],
                           "stages": res["writer"].metrics()}))
     finally:

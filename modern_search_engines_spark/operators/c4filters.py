@@ -74,10 +74,13 @@ def c4_quality_filters(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
                        min_sentences: int = C4_MIN_SENTENCES,
-                       banned_words=BAD_WORD_SAMPLE) -> DataFrame:
+                       banned_words=BAD_WORD_SAMPLE,
+                       with_text: bool = False) -> DataFrame:
     """(id, n_lines, n_lines_kept, n_sentences, keep, fail_reason,
     clean_md5) — C4 cleaning pass; ``clean_md5`` hashes the kept lines
-    re-joined by newline (the text a downstream stage would train on)."""
+    re-joined by newline (the text a downstream stage would train on).
+    ``with_text=True`` appends that text itself as ``clean_text`` (the
+    curation pipeline consumes it; the contract twin hashes the md5)."""
     lines = lines_expr(text_col)
     d = docs.select(F.col(id_col), F.col(text_col).alias("__t"),
                     lines.alias("__lines"),
@@ -97,11 +100,14 @@ def c4_quality_filters(docs: DataFrame, text_col: str = "text",
         .when(has_bad, F.lit("bad_word"))
         .when(n_sent < min_sentences, F.lit("n_sentences"))
         .otherwise(F.lit(None).cast("string")))
-    return d.select(
-        id_col,
+    cols = [
+        F.col(id_col),
         F.size("__lines").cast("long").alias("n_lines"),
         F.size("__kept").cast("long").alias("n_lines_kept"),
         n_sent.cast("long").alias("n_sentences"),
         reason.isNull().alias("keep"),
         reason.alias("fail_reason"),
-        F.md5(clean.cast("binary")).alias("clean_md5"))
+        F.md5(clean.cast("binary")).alias("clean_md5")]
+    if with_text:
+        cols.append(clean.alias("clean_text"))
+    return d.select(*cols)

@@ -155,24 +155,52 @@ def curate_docs(docs: DataFrame, evalset: DataFrame | None = None,
                 decontam_n: int = 8, drop_dup_lines: bool = False,
                 scrub_pii: bool = False, per_source_cap: int | None = None,
                 strata_col: str = "source", text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                dedup_urls: bool = False, url_col: str = "url",
+                c4_rules: bool = False,
+                ppl_keep: tuple | None = None,
+                lang_col: str = "lang") -> DataFrame:
     """The post-cleaning curation transforms of a training-data
     pipeline, composed in the order public recipes apply them:
 
-      1. decontaminate — drop docs sharing an n-gram with ``evalset``
+      0. canonical-URL dedup — the crawl pipeline's first dedup pass
+         (operators/urlnorm.py; needs ``url_col``); losers dropped;
+      1. C4 page/line rules — line rules REWRITE ``text_col`` to the
+         kept lines, page rules drop failing pages
+         (operators/c4filters.py, Raffel et al. 2020 §2.2);
+      2. decontaminate — drop docs sharing an n-gram with ``evalset``
          (broadcast semi-join probe; operators/decontam.py);
-      2. corpus-level line dedup — strip every repeated line, keep the
+      3. corpus-level line dedup — strip every repeated line, keep the
          corpus-wide first occurrence (operators/linededup.py); docs
          whose every line was boilerplate are dropped;
-      3. PII scrub — map-only regex replacement (operators/pii.py);
-      4. per-source quota cap — deterministic head-domain flattening
+      4. PII scrub — map-only regex replacement (operators/pii.py);
+      5. perplexity-bucket gate — keep only docs whose CCNet
+         head/middle/tail bucket (per ``lang_col``, self-trained
+         bigram LM; operators/lmfilter.py) is in ``ppl_keep``; docs
+         too short to score (NULL bucket) PASS — length gates own them;
+      6. per-source quota cap — deterministic head-domain flattening
          (operators/sampling.cap_per_stratum).
 
     Returns ``docs`` with the same schema, ``text_col`` transformed.
     Every step is optional; the default arguments make this the
     identity plan."""
-    from ..operators import decontam, linededup, pii, sampling
+    from ..operators import (c4filters, decontam, lmfilter, linededup,
+                             pii, sampling, urlnorm)
     out = docs
+    if dedup_urls:
+        winners = (urlnorm.dedup_by_canonical_url(
+            out.select(F.col(id_col), F.col(url_col)),
+            url_col=url_col, id_col=id_col)
+            .where(F.col("keep")).select(id_col))
+        out = out.join(winners, id_col)
+    if c4_rules:
+        c4 = c4filters.c4_quality_filters(
+            out, text_col=text_col, id_col=id_col, with_text=True)
+        out = (out.drop(text_col)
+               .join(c4.where(F.col("keep"))
+                     .select(F.col(id_col),
+                             F.col("clean_text").alias(text_col)),
+                     id_col))
     if evalset is not None:
         out = decontam.decontaminate(out, evalset, decontam_n,
                                      text_col=text_col, id_col=id_col)
@@ -186,6 +214,19 @@ def curate_docs(docs: DataFrame, evalset: DataFrame | None = None,
     if scrub_pii:
         out = out.withColumn(
             text_col, pii.scrubbed_text_expr(F.col(text_col)))
+    if ppl_keep is not None:
+        sc = lmfilter.lm_score(out, text_col=text_col,
+                               id_col=id_col).select(id_col, "nll")
+        grp = (out.select(F.col(id_col), F.col(lang_col).alias("__lang"))
+               if lang_col in out.columns
+               else out.select(F.col(id_col),
+                               F.lit("all").alias("__lang")))
+        buckets = lmfilter.perplexity_buckets(sc.join(grp, id_col),
+                                              by="__lang")
+        keep_ids = buckets.where(
+            F.col("bucket").isin(*ppl_keep)
+            | F.col("bucket").isNull()).select(id_col)
+        out = out.join(keep_ids, id_col)
     if per_source_cap is not None:
         out = sampling.cap_per_stratum(out, per_source_cap,
                                        strata_col=strata_col,
@@ -205,6 +246,9 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                  drop_dup_lines: bool = False, scrub_pii: bool = False,
                  per_source_cap: int | None = None,
                  strata_col: str = "source",
+                 dedup_urls: bool = False, url_col: str = "url",
+                 c4_rules: bool = False,
+                 ppl_keep: tuple | None = None, lang_col: str = "lang",
                  verbose: bool = True) -> dict:
     """Run (or resume) the staged cleaning pipeline; returns stage
     handles + a per-status count summary.
@@ -241,16 +285,22 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
     out = {"doc_stats": stats, "doc_status": status, "clean": clean,
            "summary": summary, "writer": sw}
     if (evalset is not None or drop_dup_lines or scrub_pii
-            or per_source_cap is not None):
+            or per_source_cap is not None or dedup_urls or c4_rules
+            or ppl_keep is not None):
         cur_params = dict(params, decontam=evalset is not None,
                           decontam_n=decontam_n,
                           drop_dup_lines=drop_dup_lines,
                           scrub_pii=scrub_pii,
-                          per_source_cap=per_source_cap)
+                          per_source_cap=per_source_cap,
+                          dedup_urls=dedup_urls, c4_rules=c4_rules,
+                          ppl_keep=(list(ppl_keep)
+                                    if ppl_keep is not None else None))
         out["curated"] = sw.write_stage(
             curate_docs(clean, evalset, decontam_n, drop_dup_lines,
                         scrub_pii, per_source_cap, strata_col,
-                        text_col, id_col),
+                        text_col, id_col, dedup_urls=dedup_urls,
+                        url_col=url_col, c4_rules=c4_rules,
+                        ppl_keep=ppl_keep, lang_col=lang_col),
             "curated", inputs=("clean",), params=cur_params)
         out["summary"]["curated"] = out["curated"].count()
     return out

@@ -172,3 +172,39 @@ def test_curated_line_dedup_and_cap(spark, tmp_path):
     assert len(remaining_a) == 1              # capped to 1 per source
     assert "cookie banner" not in got[remaining_a[0]] or \
         remaining_a[0] == 1                   # only doc1 may keep banner
+
+
+def test_curated_web_gates(spark):
+    """Round-4 gates on curate_docs: canonical-URL dedup drops the
+    refetched page, C4 line rules rewrite text / page rules drop, and
+    the CCNet perplexity gate drops the tail bucket."""
+    from modern_search_engines_spark.plans.clean import curate_docs
+    good = "this line has plenty of words to keep around."
+    docs = spark.createDataFrame([
+        Row(doc_id=1, lang="en", url="http://example.com/a",
+            text="\n".join([good] * 3) + "\nno punct line dropped"),
+        Row(doc_id=2, lang="en", url="HTTP://EXAMPLE.com:80/a/",
+            text="\n".join([good] * 3)),          # url dup of 1
+        Row(doc_id=3, lang="en", url="http://example.com/b",
+            text="\n".join([good] * 3) + "\nwe sell lorem ipsum here."),
+        Row(doc_id=4, lang="en", url="http://example.com/c",
+            text="\n".join([good] * 3)),
+    ])
+    out = curate_docs(docs, dedup_urls=True, c4_rules=True)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 4}                    # 2 url-dup, 3 lorem
+    assert got[1] == "\n".join([good] * 3)       # junk line rewritten out
+    assert got[4] == "\n".join([good] * 3)
+
+
+def test_curated_ppl_gate(spark):
+    from modern_search_engines_spark.plans.clean import curate_docs
+    rows = ([Row(doc_id=i, lang="en", text="the cat sat on the mat")
+             for i in range(8)]
+            + [Row(doc_id=50, lang="en", text="the cat sat on the rug")]
+            + [Row(doc_id=99, lang="en", text="mat the on sat cat the")])
+    docs = spark.createDataFrame(rows)
+    out = curate_docs(docs, ppl_keep=("head", "middle"))
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 99 not in kept            # reversed word order = tail bucket
+    assert set(range(8)) <= kept     # the common phrasing stays
