@@ -61,7 +61,7 @@ CONTRACT_BENCH = (
     "cap_per_source",
     "dsir_weights", "dup_gram_fraction", "gopher_quality", "span_dedup",
     "c4_filters", "url_dedup", "semdedup",
-    "lm_perplexity", "ccnet_buckets",
+    "lm_perplexity", "ccnet_buckets", "dedup_incremental",
 )
 
 

@@ -1000,6 +1000,20 @@ def q_semdedup(spark, sf):
                                cluster_col="label", round_to=6)
 
 
+def q_dedup_incremental(spark, sf):
+    """Cross-dump incremental dedup: odd doc_ids are the seen corpus,
+    even doc_ids today's dump; each new doc classified exact_dup /
+    near_dup / new (verified jaccard >= 0.2, best match = highest
+    jaccard then min seen id). Twin restates md5 + minhash banding +
+    jaccard verify over the same parity split."""
+    from .operators import crossdedup
+    docs = _docs(spark, sf)
+    return crossdedup.dedup_against(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        jaccard_threshold=0.2)
+
+
 def q_lm_perplexity(spark, sf):
     """CCNet-style LM quality score (Wenzek et al. 2020): add-k bigram
     LM self-trained on the corpus, per-doc mean negative log-likelihood
@@ -2393,6 +2407,59 @@ SELECT e.vec_id, e.label,
 FROM embeddings e LEFT JOIN p ON p.v = e.vec_id
 """
 
+# incremental-dedup twin: same parity split, md5 exact match, 8-hash /
+# 4-band minhash candidates (the shared band construction), exact
+# jaccard verify, best match by (j DESC, seen_id)
+_CROSS_SHINGLES = _SHINGLE_SQL.replace("sh AS (", "shd AS (", 1)
+_cross_bands = lambda sig, idc: " UNION ALL ".join(
+    f"SELECT {idc}, '{j}' || '|' || h{2 * j} || '|' || h{2 * j + 1} AS band "
+    f"FROM {sig}" for j in range(N_BANDS))
+_ORACLE["dedup_incremental"] = f"""
+WITH {_CROSS_SHINGLES},
+newd AS (SELECT doc_id, md5(text) AS text_md5 FROM documents
+         WHERE doc_id % 2 = 0),
+md5s AS (SELECT md5(text) AS text_md5, min(doc_id) AS seen_id
+         FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+ex AS (SELECT n.doc_id, s.seen_id AS e FROM newd n
+       JOIN md5s s USING (text_md5)),
+shn AS (SELECT * FROM shd WHERE doc_id % 2 = 0),
+shs AS (SELECT * FROM shd WHERE doc_id % 2 = 1),
+sign AS (SELECT doc_id, {_minhash_cols} FROM shn GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_minhash_cols} FROM shs GROUP BY doc_id),
+bn AS ({_cross_bands("sign", "doc_id AS new_id")}),
+bs AS ({_cross_bands("sigs", "doc_id AS seen_id")}),
+cand AS (SELECT DISTINCT new_id, seen_id FROM bn JOIN bs USING (band)),
+szn AS (SELECT doc_id, count(*) AS na FROM shn GROUP BY doc_id),
+szs AS (SELECT doc_id, count(*) AS nb FROM shs GROUP BY doc_id),
+inter AS (
+    SELECT c.new_id, c.seen_id, count(*) AS i
+    FROM cand c
+    JOIN shn a ON a.doc_id = c.new_id
+    JOIN shs b ON b.doc_id = c.seen_id AND b.sh = a.sh
+    GROUP BY c.new_id, c.seen_id
+),
+jac AS (
+    SELECT new_id, seen_id,
+           i::DOUBLE / (na + nb - i) AS j
+    FROM inter JOIN szn ON szn.doc_id = new_id
+    JOIN szs ON szs.doc_id = seen_id
+    WHERE i::DOUBLE / (na + nb - i) >= 0.2
+),
+near AS (
+    SELECT new_id AS doc_id, seen_id AS nr, round(j, 6) AS jr
+    FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                    ORDER BY j DESC, seen_id) AS rn FROM jac)
+    WHERE rn = 1
+)
+SELECT n.doc_id,
+       CASE WHEN ex.e IS NOT NULL THEN 'exact_dup'
+            WHEN near.nr IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status,
+       coalesce(ex.e, near.nr)::BIGINT AS dup_of,
+       CASE WHEN ex.e IS NULL THEN near.jr END AS jaccard
+FROM newd n LEFT JOIN ex USING (doc_id) LEFT JOIN near USING (doc_id)
+"""
+
 # lm twin: identical add-k bigram LM (k=0.5) — same per-(doc,gram)
 # integer pre-aggregation so the float sum has the same terms in both
 # engines, same ln((n12+k)/(n1+kV)) formula shape as the dsir twin
@@ -2514,6 +2581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "lm_perplexity": q_lm_perplexity,
     "ccnet_buckets": q_ccnet_buckets,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 
