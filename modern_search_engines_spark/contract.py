@@ -2359,12 +2359,12 @@ parts AS (
 norm AS (
     SELECT doc_id, scheme,
            CASE WHEN scheme = 'http'
-                THEN regexp_replace(regexp_replace(auth, '^www\\.', ''),
+                THEN regexp_replace(regexp_replace(auth, '^(www\\.)+', ''),
                                     ':80$', '')
                 WHEN scheme = 'https'
-                THEN regexp_replace(regexp_replace(auth, '^www\\.', ''),
+                THEN regexp_replace(regexp_replace(auth, '^(www\\.)+', ''),
                                     ':443$', '')
-                ELSE regexp_replace(auth, '^www\\.', '') END AS host,
+                ELSE regexp_replace(auth, '^(www\\.)+', '') END AS host,
            regexp_replace(regexp_replace(path, '/{{2,}}', '/', 'g'),
                           '/+$', '') AS cpath,
            array_to_string(list_sort(list_filter(string_split(query, '&'),

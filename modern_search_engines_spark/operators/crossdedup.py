@@ -64,10 +64,19 @@ def dedup_against(new: DataFrame, seen: DataFrame | None = None,
                   jaccard_threshold: float | None = None,
                   seen_md5: DataFrame | None = None,
                   seen_sig: DataFrame | None = None,
-                  seen_sh: DataFrame | None = None) -> DataFrame:
+                  seen_sh: DataFrame | None = None,
+                  max_band_docs: int | None = None) -> DataFrame:
     """(id, status, dup_of, jaccard) — every NEW doc classified against
     the seen corpus. Pass either ``seen`` (the index is derived) or the
-    three precomputed ``seen_*`` tables."""
+    three precomputed ``seen_*`` tables.
+
+    ``max_band_docs`` is the loud guard against a degenerate seen
+    corpus: a band value shared by B seen docs multiplies every
+    colliding new doc by B in the candidate join (10^6 near-identical
+    boilerplate pages ⇒ one bucket goes quadratic). When set, a cheap
+    seen-side band-size aggregate runs first and RAISES over the cap —
+    the fix is to self-dedup the seen corpus (its exact/near dups are
+    what inflate the bucket) rather than silently lose recall."""
     if seen_md5 is None or (jaccard_threshold is not None
                             and (seen_sig is None or seen_sh is None)):
         assert seen is not None, \
@@ -98,8 +107,20 @@ def dedup_against(new: DataFrame, seen: DataFrame | None = None,
             return sig.select(F.col("doc_id").alias(name),
                               F.explode(arr).alias("band"))
 
+        seen_bands = _bands(seen_sig, "seen_id")
+        if max_band_docs is not None:
+            over = (seen_bands.groupBy("band")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .where(F.col("__n") > max_band_docs)
+                    .limit(1).collect())
+            if over:
+                raise ValueError(
+                    f"dedup_against: seen band bucket has {over[0][1]} "
+                    f"> max_band_docs={max_band_docs} docs — the "
+                    "candidate join would be quadratic in it; self-dedup "
+                    "the seen corpus (exact_dups/minhash) first")
         cand = (_bands(sig_new, "new_id")
-                .join(_bands(seen_sig, "seen_id"), "band")
+                .join(seen_bands, "band")
                 .select("new_id", "seen_id").distinct())
         sizes_new = sh_new.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("na"))

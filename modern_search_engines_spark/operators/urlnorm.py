@@ -5,7 +5,7 @@ frontier and dedup on the raw URL, backend/crawler/frontier.py).
 
 Canonical form (RFC 3986 normalization + the crawl-pipeline extras):
   * strip the fragment (``#...`` — never sent to the server);
-  * lowercase scheme and host; strip a leading ``www.``;
+  * lowercase scheme and host; strip leading ``www.`` labels (all of them — idempotence);
   * strip the scheme-default port (``:80`` http / ``:443`` https);
   * collapse duplicate slashes in the path and strip trailing slashes;
   * drop tracking query params (``utm_*``, ``gclid``, ``fbclid``) and
@@ -41,7 +41,10 @@ def canonical_url_expr(url_col: str = "url") -> Column:
     path = F.regexp_extract(u, URL_PARTS_RE, 3)
     query = F.regexp_extract(u, URL_PARTS_RE, 4)
 
-    host = F.regexp_replace(auth, r"^www\.", "")
+    # ALL leading www. labels, not one — canonicalization must be a
+    # fixed point (re-normalizing an already-normalized table is the
+    # common operational accident; property-tested idempotent)
+    host = F.regexp_replace(auth, r"^(www\.)+", "")
     host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")) \
             .when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
             .otherwise(host)

@@ -78,3 +78,16 @@ def test_dump_never_joins_itself(spark):
     got = {r["doc_id"]: r["status"] for r in crossdedup.dedup_against(
         new, seen, jaccard_threshold=0.2).collect()}
     assert got == {10: "new", 11: "new"}
+
+
+def test_hot_band_guard_raises(spark):
+    import pytest
+    seen = spark.createDataFrame(
+        [Row(doc_id=i, text=BASE) for i in range(1, 8)])
+    new = spark.createDataFrame([Row(doc_id=100, text=BASE + " tower")])
+    with pytest.raises(ValueError, match="max_band_docs"):
+        crossdedup.dedup_against(new, seen, jaccard_threshold=0.3,
+                                 max_band_docs=3)
+    got = crossdedup.dedup_against(new, seen, jaccard_threshold=0.3,
+                                   max_band_docs=100).collect()[0]
+    assert got["status"] == "near_dup" and got["dup_of"] == 1

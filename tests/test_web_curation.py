@@ -180,3 +180,28 @@ def test_semdedup_layout_independent(spark):
     a = semdedup(df, threshold=0.95)
     b = semdedup(df.repartition(7, "embedding"), threshold=0.95)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_url_canonicalization_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — the canonical form is
+    a fixed point, so re-normalizing an already-normalized table (the
+    common operational accident) is a no-op."""
+    urls = [
+        "HTTP://Example.COM:80/a//b?utm_source=x&id=7",
+        "http://example.com/a/b?id=7#frag",
+        "https://www.example.com/a/b/",
+        "https://example.com:443///x//y///z?b=2&a=1&gclid=9",
+        "http://example.com:8080/x?z=1&y=2",
+        "ftp://Example.com/x",
+        "https://www.www.example.com/",     # only ONE www. stripped
+    ]
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               ["doc_id", "url"])
+    once = df.select("doc_id",
+                     urlnorm.canonical_url_expr("url").alias("url"))
+    twice = once.select("doc_id",
+                        urlnorm.canonical_url_expr("url").alias("url"))
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
