@@ -51,12 +51,11 @@ STATUSES = ("kept", "exact_dup", "wrong_lang", "too_short",
 def shingle_table(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   max_shingle_df: int | None = None) -> DataFrame:
-    """(doc_id, sh) distinct word-trigram shingles (df-capped)."""
-    toks = quality.tokens_expr(text_col)
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
-    sh = d.select("doc_id",
-                  F.explode(F.array_distinct(
-                      quality.trigrams_expr(F.col("toks")))).alias("sh"))
+    """(doc_id, sh) distinct word-trigram shingles (df-capped) — the
+    shingle build itself is shared with cross-dump dedup
+    (``crossdedup.shingles_of``); this adds the hot-shingle df cap."""
+    from ..operators.crossdedup import shingles_of
+    sh = shingles_of(docs, text_col, id_col)
     if max_shingle_df is not None:
         hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
                .where(F.col("df") > max_shingle_df).select("sh"))
@@ -159,7 +158,8 @@ def curate_docs(docs: DataFrame, evalset: DataFrame | None = None,
                 dedup_urls: bool = False, url_col: str = "url",
                 c4_rules: bool = False,
                 ppl_keep: tuple | None = None,
-                lang_col: str = "lang") -> DataFrame:
+                lang_col: str = "lang",
+                cache_registry: list | None = None) -> DataFrame:
     """The post-cleaning curation transforms of a training-data
     pipeline, composed in the order public recipes apply them:
 
@@ -215,6 +215,14 @@ def curate_docs(docs: DataFrame, evalset: DataFrame | None = None,
         out = out.withColumn(
             text_col, pii.scrubbed_text_expr(F.col(text_col)))
     if ppl_keep is not None:
+        # the LM self-train reads `out` several times (bigram counts,
+        # context counts, the vocab scalar, the scoring probe) — pin
+        # the curated-so-far lineage instead of recomputing the whole
+        # upstream gate chain per read; callers unpersist via
+        # cache_registry after materializing (clean_corpus does)
+        out = out.persist()
+        if cache_registry is not None:
+            cache_registry.append(out)
         sc = lmfilter.lm_score(out, text_col=text_col,
                                id_col=id_col).select(id_col, "nll")
         grp = (out.select(F.col(id_col), F.col(lang_col).alias("__lang"))
@@ -295,12 +303,16 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                           dedup_urls=dedup_urls, c4_rules=c4_rules,
                           ppl_keep=(list(ppl_keep)
                                     if ppl_keep is not None else None))
+        cur_caches: list = []
         out["curated"] = sw.write_stage(
             curate_docs(clean, evalset, decontam_n, drop_dup_lines,
                         scrub_pii, per_source_cap, strata_col,
                         text_col, id_col, dedup_urls=dedup_urls,
                         url_col=url_col, c4_rules=c4_rules,
-                        ppl_keep=ppl_keep, lang_col=lang_col),
+                        ppl_keep=ppl_keep, lang_col=lang_col,
+                        cache_registry=cur_caches),
             "curated", inputs=("clean",), params=cur_params)
+        for c in cur_caches:
+            c.unpersist()
         out["summary"]["curated"] = out["curated"].count()
     return out
