@@ -183,3 +183,49 @@ def test_cap_per_stratum_prefilters_before_rank(spark):
     win_at = plan.find("Window")
     assert win_at != -1, plan
     assert "__sk" in plan[win_at:], plan
+
+
+def test_c4_and_pii_are_map_only(spark):
+    """The page-rule gates must be ZERO-shuffle: one projection chain,
+    no Exchange anywhere in the physical plan."""
+    from modern_search_engines_spark.operators import c4filters, urlnorm
+    docs = spark.createDataFrame(
+        [(i, f"some line {i}.\nother line {i}") for i in range(20)],
+        ["doc_id", "text"])
+    plan = _plan(c4filters.c4_quality_filters(docs))
+    assert "Exchange" not in plan, plan
+    urls = spark.createDataFrame(
+        [(i, f"http://example.com/{i}") for i in range(20)],
+        ["doc_id", "url"])
+    cplan = _plan(urls.select(
+        urlnorm.canonical_url_expr("url").alias("c")))
+    assert "Exchange" not in cplan, cplan
+
+
+def test_lm_and_crossdedup_no_cartesian(spark):
+    from modern_search_engines_spark.operators import crossdedup, lmfilter
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5}")
+         for i in range(30)], ["doc_id", "text"])
+    plan = _plan(lmfilter.lm_score(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    seen = docs.where("doc_id % 2 = 1")
+    new = docs.where("doc_id % 2 = 0")
+    dplan = _plan(crossdedup.dedup_against(new, seen,
+                                           jaccard_threshold=0.2))
+    assert "CartesianProduct" not in dplan, dplan
+    assert "BroadcastNestedLoopJoin" not in dplan, dplan
+
+
+def test_perplexity_buckets_thresholds_broadcast(spark):
+    """The per-group thresholds must come back as a BROADCAST join —
+    never a corpus-wide rank window."""
+    from modern_search_engines_spark.operators import lmfilter
+    scored = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", float(i)) for i in range(40)],
+        ["doc_id", "lang", "nll"])
+    b = lmfilter.perplexity_buckets(scored)
+    plan = _plan(b)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
