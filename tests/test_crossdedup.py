@@ -91,3 +91,39 @@ def test_hot_band_guard_raises(spark):
     got = crossdedup.dedup_against(new, seen, jaccard_threshold=0.3,
                                    max_band_docs=100).collect()[0]
     assert got["status"] == "near_dup" and got["dup_of"] == 1
+
+
+def test_dedup_dump_job_cli(spark, tmp_path):
+    """End-to-end spark-submit job: classify a dump, then rerun and
+    assert the seen-index stages RESUME (same commit ids — the corpus
+    is not rescanned)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    seen_p, new_p = str(tmp_path / "seen"), str(tmp_path / "new")
+    _seen(spark).write.parquet(seen_p)
+    _new(spark).write.parquet(new_p)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4", "PYTHONPATH": repo}
+
+    def run(out):
+        proc = subprocess.run(
+            [sys.executable, "jobs/dedup_dump.py", "--seen", seen_p,
+             "--new", new_p, "--index", str(tmp_path / "idx"),
+             "--out", out, "--jaccard-threshold", "0.3"],
+            capture_output=True, text=True, timeout=300, cwd=repo, env=env)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads([l for l in proc.stdout.splitlines()
+                           if l.startswith("{")][-1])
+
+    r1 = run(str(tmp_path / "out1"))
+    assert r1["summary"] == {"exact_dup": 1, "near_dup": 1, "new": 1}
+    assert {m["name"] for m in r1["index_stages"]} == {
+        "seen_md5", "seen_shingles", "seen_sig"}
+    r2 = run(str(tmp_path / "out2"))
+    assert r2["summary"] == r1["summary"]
+    c1 = {m["name"]: m["commit_id"] for m in r1["index_stages"]}
+    c2 = {m["name"]: m["commit_id"] for m in r2["index_stages"]}
+    assert c1 == c2          # resumed, not rebuilt
