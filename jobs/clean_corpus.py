@@ -9,7 +9,8 @@
         [--transitive] [--evalset /data/eval_parquet] [--decontam-n 8] \
         [--drop-dup-lines] [--scrub-pii] [--per-source-cap N] \
         [--strata-col source] [--dedup-urls] [--url-col url] \
-        [--c4-rules] [--ppl-keep head,middle] [--lang-col lang]
+        [--c4-rules] [--ppl-keep head,middle] [--ppl-train /data/wiki] \
+        [--lang-col lang]
 
 documents → doc_stats → doc_status → clean [→ curated] (each an
 atomic, resumable stage commit — plans/clean.py; the curated stage runs
@@ -65,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--ppl-keep", default=None,
                     help="comma-separated CCNet buckets to keep "
                          "(e.g. head,middle); enables the LM gate")
+    ap.add_argument("--ppl-train", default=None,
+                    help="reference-corpus parquet to train the LM on "
+                         "(CCNet's Wikipedia slot); default self-train")
     ap.add_argument("--lang-col", default="lang")
     args = ap.parse_args(argv)
 
@@ -95,6 +99,8 @@ def main(argv: list[str] | None = None) -> int:
             c4_rules=args.c4_rules,
             ppl_keep=(tuple(args.ppl_keep.split(","))
                       if args.ppl_keep else None),
+            ppl_train=(spark.read.parquet(args.ppl_train)
+                       if args.ppl_train else None),
             lang_col=args.lang_col, verbose=True)
         print(json.dumps({"summary": res["summary"],
                           "stages": res["writer"].metrics()}))

@@ -159,6 +159,7 @@ def curate_docs(docs: DataFrame, evalset: DataFrame | None = None,
                 c4_rules: bool = False,
                 ppl_keep: tuple | None = None,
                 lang_col: str = "lang",
+                ppl_train: DataFrame | None = None,
                 cache_registry: list | None = None) -> DataFrame:
     """The post-cleaning curation transforms of a training-data
     pipeline, composed in the order public recipes apply them:
@@ -175,8 +176,9 @@ def curate_docs(docs: DataFrame, evalset: DataFrame | None = None,
          whose every line was boilerplate are dropped;
       4. PII scrub — map-only regex replacement (operators/pii.py);
       5. perplexity-bucket gate — keep only docs whose CCNet
-         head/middle/tail bucket (per ``lang_col``, self-trained
-         bigram LM; operators/lmfilter.py) is in ``ppl_keep``; docs
+         head/middle/tail bucket (per ``lang_col``; bigram LM trained
+         on ``ppl_train`` when given — CCNet's Wikipedia slot — else
+         self-trained; operators/lmfilter.py) is in ``ppl_keep``; docs
          too short to score (NULL bucket) PASS — length gates own them;
       6. per-source quota cap — deterministic head-domain flattening
          (operators/sampling.cap_per_stratum).
@@ -223,7 +225,7 @@ def curate_docs(docs: DataFrame, evalset: DataFrame | None = None,
         out = out.persist()
         if cache_registry is not None:
             cache_registry.append(out)
-        sc = lmfilter.lm_score(out, text_col=text_col,
+        sc = lmfilter.lm_score(out, train=ppl_train, text_col=text_col,
                                id_col=id_col).select(id_col, "nll")
         grp = (out.select(F.col(id_col), F.col(lang_col).alias("__lang"))
                if lang_col in out.columns
@@ -257,6 +259,7 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                  dedup_urls: bool = False, url_col: str = "url",
                  c4_rules: bool = False,
                  ppl_keep: tuple | None = None, lang_col: str = "lang",
+                 ppl_train: DataFrame | None = None,
                  verbose: bool = True) -> dict:
     """Run (or resume) the staged cleaning pipeline; returns stage
     handles + a per-status count summary.
@@ -302,7 +305,8 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                           per_source_cap=per_source_cap,
                           dedup_urls=dedup_urls, c4_rules=c4_rules,
                           ppl_keep=(list(ppl_keep)
-                                    if ppl_keep is not None else None))
+                                    if ppl_keep is not None else None),
+                          ppl_train=ppl_train is not None)
         cur_caches: list = []
         out["curated"] = sw.write_stage(
             curate_docs(clean, evalset, decontam_n, drop_dup_lines,
@@ -310,6 +314,7 @@ def clean_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                         text_col, id_col, dedup_urls=dedup_urls,
                         url_col=url_col, c4_rules=c4_rules,
                         ppl_keep=ppl_keep, lang_col=lang_col,
+                        ppl_train=ppl_train,
                         cache_registry=cur_caches),
             "curated", inputs=("clean",), params=cur_params)
         for c in cur_caches:

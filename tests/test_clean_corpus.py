@@ -208,3 +208,23 @@ def test_curated_ppl_gate(spark):
     kept = {r["doc_id"] for r in out.collect()}
     assert 99 not in kept            # reversed word order = tail bucket
     assert set(range(8)) <= kept     # the common phrasing stays
+
+
+def test_curated_ppl_gate_with_reference_train(spark):
+    """ppl_train switches the LM to a reference corpus (CCNet's
+    Wikipedia slot): docs phrased like the REFERENCE score head even
+    when the corpus majority is phrased differently."""
+    from modern_search_engines_spark.plans.clean import curate_docs
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text="the cat sat on the mat") for i in range(5)])
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text="mat the on sat cat the")
+         for i in range(8)]
+        + [Row(doc_id=50, lang="en", text="the cat sat on the mat")])
+    out = curate_docs(docs, ppl_keep=("head",), ppl_train=ref)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 50 in kept        # reference-like doc is the head bucket
+    # self-train would invert this: the majority phrasing wins instead
+    out2 = curate_docs(docs, ppl_keep=("head",))
+    kept2 = {r["doc_id"] for r in out2.collect()}
+    assert 50 not in kept2
