@@ -347,6 +347,15 @@ def main() -> None:
 
         spark = get_spark("bench-contract", master="local[16]",
                           shuffle_partitions=32)
+        # untimed warm-up: python workers + one cold read of each input
+        # table, so first-touch I/O/codegen doesn't land on whichever
+        # entry happens to scan a table first (semdedup read 7.3 s cold
+        # vs 0.75 s steady before this; entries stay single-shot)
+        _warm_session(spark, 16)
+        for t in ("documents", "embeddings", "events", "lineitem"):
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                spark.read.parquet(p).count()
         # -- 3. driver-contract queries at the sf dir --------------------
         for name in CONTRACT_BENCH:
             fn = contract.QUERIES[name]
