@@ -1014,6 +1014,16 @@ def q_dedup_incremental(spark, sf):
         jaccard_threshold=0.2)
 
 
+def q_curation_report(spark, sf):
+    """Per-source cleaning funnel: (source, status, n_docs, n_tokens)
+    over the staged pipeline's classification — the per-dump removal
+    stats a production pipeline publishes. Twin wraps the corpus_clean
+    replay in the same (source, status) rollup."""
+    from .plans.clean import classify_docs, curation_report
+    docs = _docs(spark, sf)
+    return curation_report(classify_docs(docs, **CLEAN_PARAMS), docs)
+
+
 def q_lm_perplexity(spark, sf):
     """CCNet-style LM quality score (Wenzek et al. 2020): add-k bigram
     LM self-trained on the corpus, per-doc mean negative log-likelihood
@@ -2407,6 +2417,18 @@ SELECT e.vec_id, e.label,
 FROM embeddings e LEFT JOIN p ON p.v = e.vec_id
 """
 
+# funnel twin: wrap the full corpus_clean replay (a WITH query is a
+# valid derived table in DuckDB) in the (source, status) rollup with
+# the same whitespace token count
+_ORACLE["curation_report"] = f"""
+SELECT d.source, s.status,
+       count(*)::BIGINT AS n_docs,
+       sum(len(list_filter(string_split(d.text, ' '),
+                           x -> x <> '')))::BIGINT AS n_tokens
+FROM ({_ORACLE["corpus_clean"]}) s JOIN documents d USING (doc_id)
+GROUP BY d.source, s.status
+"""
+
 # incremental-dedup twin: same parity split, md5 exact match, 8-hash /
 # 4-band minhash candidates (the shared band construction), exact
 # jaccard verify, best match by (j DESC, seen_id)
@@ -2582,6 +2604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "ccnet_buckets": q_ccnet_buckets,
     "dedup_incremental": q_dedup_incremental,
+    "curation_report": q_curation_report,
 }
 
 

@@ -150,6 +150,31 @@ def classify_docs(docs: DataFrame, langs=("en",), min_tokens: int = 5,
                     "n_tokens", "lang_guess", "rep_ratio"))
 
 
+def curation_report(status: DataFrame, docs: DataFrame,
+                    source_col: str = "source", id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(source, status, n_docs, n_tokens) — the per-source cleaning
+    funnel (the per-dump stats public pipelines publish: how many docs
+    and tokens each gate removed, by source). Reuses the status
+    frame's ``n_tokens`` when present (``classify_docs`` emits it);
+    otherwise recounts whitespace tokens from ``docs``. One map-side-
+    combinable aggregation — a single shuffle keyed by
+    (source, status), no windows, at any corpus size."""
+    if "n_tokens" in status.columns:
+        st = status.select(id_col, "status", "n_tokens")
+    else:
+        toks = quality.tokens_expr(text_col)
+        st = status.select(id_col, "status").join(
+            docs.select(F.col(id_col),
+                        F.size(toks).cast("long").alias("n_tokens")),
+            id_col)
+    src = docs.select(F.col(id_col), F.col(source_col).alias("source"))
+    return (st.join(src, id_col)
+            .groupBy("source", "status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))
+
+
 def curate_docs(docs: DataFrame, evalset: DataFrame | None = None,
                 decontam_n: int = 8, drop_dup_lines: bool = False,
                 scrub_pii: bool = False, per_source_cap: int | None = None,

@@ -228,3 +228,21 @@ def test_curated_ppl_gate_with_reference_train(spark):
     out2 = curate_docs(docs, ppl_keep=("head",))
     kept2 = {r["doc_id"] for r in out2.collect()}
     assert 50 not in kept2
+
+
+def test_curation_report_funnel(spark):
+    from pyspark.sql import functions as F
+    from modern_search_engines_spark.plans.clean import (
+        classify_docs, curation_report)
+    docs = _docs(spark).withColumn(
+        "source", F.when(F.col("doc_id") <= 3, "a").otherwise("b"))
+    rep = {(r["source"], r["status"]): (r["n_docs"], r["n_tokens"])
+           for r in curation_report(
+               classify_docs(docs, **PARAMS), docs).collect()}
+    # docs 1/2/3 are source a: kept, exact_dup, near_dup; 4..7 are b
+    assert rep[("a", "kept")][0] == 1
+    assert rep[("a", "exact_dup")][0] == 1
+    assert rep[("a", "near_dup")][0] == 1
+    assert rep[("b", "kept")][0] == 1
+    assert sum(n for n, _ in rep.values()) == 7     # every doc counted
+    assert all(nt > 0 for _, nt in rep.values())
