@@ -1014,6 +1014,22 @@ def q_dedup_incremental(spark, sf):
         jaccard_threshold=0.2)
 
 
+def q_events_asof(spark, sf):
+    """As-of join (operators/asof.py — the operator Spark's API lacks,
+    composed from union + keyed window): each click event joined to the
+    user's most recent purchase at-or-before it. Right side pre-deduped
+    to one row per (user, ts) by max event_id so tie identity is
+    engine-independent. Twin is DuckDB's NATIVE ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    left = (ev.where(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max_by("value", "event_id").alias("value")))
+    return asof_join(left, right, right_cols=("value",))
+
+
 def q_curation_report(spark, sf):
     """Per-source cleaning funnel: (source, status, n_docs, n_tokens)
     over the staged pipeline's classification — the per-dump removal
@@ -2417,6 +2433,15 @@ SELECT e.vec_id, e.label,
 FROM embeddings e LEFT JOIN p ON p.v = e.vec_id
 """
 
+_ORACLE["events_asof"] = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_r, r.value AS value_r
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 # funnel twin: wrap the full corpus_clean replay (a WITH query is a
 # valid derived table in DuckDB) in the (source, status) rollup with
 # the same whitespace token count
@@ -2605,6 +2630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": q_ccnet_buckets,
     "dedup_incremental": q_dedup_incremental,
     "curation_report": q_curation_report,
+    "events_asof": q_events_asof,
 }
 
 
