@@ -1030,6 +1030,24 @@ def q_events_asof(spark, sf):
     return asof_join(left, right, right_cols=("value",))
 
 
+def q_events_range_join(spark, sf):
+    """Range join (operators/rangejoin.py — the interval θ-join Spark
+    would plan as a nested loop, bucketized into an equi-join on
+    (bin) + residual BETWEEN): each event matched to every overlapping
+    value band (25 bands [i*20, i*20+27] — overlapping, so multiplicity
+    is exercised). Twin is the plain BETWEEN join DuckDB plans natively."""
+    from .operators.rangejoin import range_join
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "value")
+    bands = spark.range(25).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + 27.0).alias("hi"))
+    return range_join(ev, bands, "value", "lo", "hi",
+                      bin_width=20.0).select("event_id", "value",
+                                             "band_id")
+
+
 def q_curation_report(spark, sf):
     """Per-source cleaning funnel: (source, status, n_docs, n_tokens)
     over the staged pipeline's classification — the per-dump removal
@@ -2433,6 +2451,15 @@ SELECT e.vec_id, e.label,
 FROM embeddings e LEFT JOIN p ON p.v = e.vec_id
 """
 
+_ORACLE["events_range_join"] = """
+WITH bands AS (
+    SELECT i::INT AS band_id, i * 20.0 AS lo, i * 20.0 + 27.0 AS hi
+    FROM range(0, 25) t(i)
+)
+SELECT e.event_id, e.value, b.band_id
+FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+"""
+
 _ORACLE["events_asof"] = """
 WITH l AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'click'),
@@ -2631,6 +2658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "curation_report": q_curation_report,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
 }
 
 
