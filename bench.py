@@ -62,7 +62,7 @@ CONTRACT_BENCH = (
     "dsir_weights", "dup_gram_fraction", "gopher_quality", "span_dedup",
     "c4_filters", "url_dedup", "semdedup",
     "lm_perplexity", "ccnet_buckets", "dedup_incremental",
-    "curation_report", "events_asof", "events_range_join",
+    "curation_report", "events_asof", "events_range_join", "link_hits",
 )
 
 

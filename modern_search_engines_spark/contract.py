@@ -250,6 +250,18 @@ PR_DAMPING = 0.85
 PR_EDGE_A, PR_EDGE_B = 48271, 16807
 
 
+def _link_edges(docs, n):
+    """Deterministic per-doc 3-out-edge graph shared by the link
+    analytics entries (pagerank, hits)."""
+    return (docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k"))
+        .select("src",
+                ((F.col("src") * F.lit(PR_EDGE_A)
+                  + F.col("k") * F.lit(PR_EDGE_B)) % F.lit(n)).alias("dst"))
+        .distinct())
+
+
 def q_link_pagerank(spark, sf):
     """Link-graph analytics: 10 fixed PageRank power-iteration rounds
     (d=0.85) over a deterministic per-doc 3-out-edge graph
@@ -259,13 +271,7 @@ def q_link_pagerank(spark, sf):
     from .operators import linkgraph
     docs = _docs(spark, sf).select("doc_id")
     n = docs.count()
-    edges = (docs.select(
-        F.col("doc_id").alias("src"),
-        F.explode(F.array(*[F.lit(k) for k in (1, 2, 3)])).alias("k"))
-        .select("src",
-                ((F.col("src") * F.lit(PR_EDGE_A)
-                  + F.col("k") * F.lit(PR_EDGE_B)) % F.lit(n)).alias("dst"))
-        .distinct())
+    edges = _link_edges(docs, n)
     pr = linkgraph.pagerank(docs, edges, iters=PR_ITERS,
                             damping=PR_DAMPING)
     return pr.select("doc_id", F.round("rank", 6).alias("rank"))
@@ -1030,6 +1036,17 @@ def q_events_asof(spark, sf):
     return asof_join(left, right, right_cols=("value",))
 
 
+def q_link_hits(spark, sf):
+    """HITS hubs/authorities (Kleinberg): 10 L2-normalized mutual-
+    reinforcement rounds over the same deterministic 3-out-edge graph
+    as link_pagerank (``operators/linkgraph.hits`` — per round one
+    keyed join+sum per direction, one bounded norm scalar). Twin
+    unrolls the identical recurrence."""
+    from .operators import linkgraph
+    docs = _docs(spark, sf).select("doc_id")
+    return linkgraph.hits(docs, _link_edges(docs, docs.count()))
+
+
 def q_events_range_join(spark, sf):
     """Range join (operators/rangejoin.py — the interval θ-join Spark
     would plan as a nested loop, bucketized into an equi-join on
@@ -1232,6 +1249,50 @@ pr{t} AS (
 
 
 _ORACLE["link_pagerank"] = _pagerank_sql()
+
+
+def _hits_sql(iters: int = 10) -> str:
+    # every CTE is MATERIALIZED: the norm subquery references each
+    # round's CTE twice, and DuckDB's default CTE INLINING would double
+    # the plan per round (2^iters scans -> fd exhaustion)
+    head = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS MATERIALIZED (
+    SELECT DISTINCT doc_id AS src,
+           (doc_id * {PR_EDGE_A} + k * {PR_EDGE_B})
+               % (SELECT n FROM nn) AS dst
+    FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(k)
+),
+h0 AS MATERIALIZED (SELECT doc_id, 1.0::DOUBLE / sqrt((SELECT n FROM nn)) AS hub
+       FROM documents)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+ar{t} AS MATERIALIZED (
+    SELECT d.doc_id, coalesce(s.a, 0.0::DOUBLE) AS a
+    FROM documents d LEFT JOIN (
+        SELECT e.dst AS doc_id, sum(h.hub) AS a
+        FROM h{t - 1} h JOIN edges e ON e.src = h.doc_id
+        GROUP BY e.dst) s USING (doc_id)
+),
+a{t} AS MATERIALIZED (SELECT doc_id, a / (SELECT sqrt(sum(a * a)) FROM ar{t})
+             AS authority FROM ar{t}),
+hr{t} AS MATERIALIZED (
+    SELECT d.doc_id, coalesce(s.h, 0.0::DOUBLE) AS h
+    FROM documents d LEFT JOIN (
+        SELECT e.src AS doc_id, sum(a.authority) AS h
+        FROM a{t} a JOIN edges e ON e.dst = a.doc_id
+        GROUP BY e.src) s USING (doc_id)
+),
+h{t} AS MATERIALIZED (SELECT doc_id, h / (SELECT sqrt(sum(h * h)) FROM hr{t})
+             AS hub FROM hr{t})""")
+    return (head + "," + ",".join(steps) + f"""
+SELECT h.doc_id, round(h.hub, 6) AS hub,
+       round(a.authority, 6) AS authority
+FROM h{iters} h JOIN a{iters} a USING (doc_id)""")
+
+
+_ORACLE["link_hits"] = _hits_sql()
 
 # Transitive components twin: same pair graph as dedup_ngram_jaccard,
 # then min-reachable-node per doc via a RECURSIVE CTE (the union-dedup
@@ -2659,6 +2720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_report": q_curation_report,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    "link_hits": q_link_hits,
 }
 
 

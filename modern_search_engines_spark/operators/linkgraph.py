@@ -108,3 +108,58 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+def hits(nodes: DataFrame, edges: DataFrame, iters: int = 10,
+         node_col: str = "doc_id", src: str = "src",
+         dst: str = "dst") -> DataFrame:
+    """(node_col, hub, authority) — Kleinberg's HITS after ``iters``
+    fixed mutual-reinforcement rounds, L2-normalized each round:
+
+      aₜ(v) = Σ_{u→v} hₜ₋₁(u) / ‖·‖₂ ;  hₜ(u) = Σ_{u→v} aₜ(v) / ‖·‖₂
+
+    The page-quality counterpart to ``pagerank`` (good HUBS link to
+    good AUTHORITIES — the other classic link signal a ranker blends).
+    Fixed iteration count, h₀ = 1/√N, so the result is a deterministic
+    function of the graph (the contract twin unrolls the identical
+    recurrence; ``edges`` should be distinct pairs).
+
+    Scale shape mirrors ``pagerank``: per round, one keyed join +
+    map-side-combinable sum per direction, ONE bounded scalar aggregate
+    per normalization, per-round ``localCheckpoint`` lineage
+    truncation; the hub/authority vectors are never collected.
+    """
+    import math
+
+    nd = nodes.select(node_col).localCheckpoint(eager=True)
+    n = nd.count()
+    ed = edges.select(src, dst).localCheckpoint(eager=True)
+    hubs = nd.select(F.col(node_col),
+                     F.lit(1.0 / math.sqrt(n)).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (ed.join(hubs, ed[src] == hubs[node_col])
+                 .groupBy(F.col(dst).alias(node_col))
+                 .agg(F.sum("hub").alias("a")))
+        a_all = (nd.join(a_raw, node_col, "left")
+                 .select(F.col(node_col),
+                         F.coalesce("a", F.lit(0.0)).alias("a"))
+                 .localCheckpoint(eager=True))
+        a_norm = math.sqrt(
+            a_all.agg(F.sum(F.col("a") * F.col("a"))).collect()[0][0])
+        auth = a_all.select(
+            node_col, (F.col("a") / F.lit(a_norm)).alias("authority"))
+        h_raw = (ed.join(auth, ed[dst] == auth[node_col])
+                 .groupBy(F.col(src).alias(node_col))
+                 .agg(F.sum("authority").alias("h")))
+        h_all = (nd.join(h_raw, node_col, "left")
+                 .select(F.col(node_col),
+                         F.coalesce("h", F.lit(0.0)).alias("h"))
+                 .localCheckpoint(eager=True))
+        h_norm = math.sqrt(
+            h_all.agg(F.sum(F.col("h") * F.col("h"))).collect()[0][0])
+        hubs = h_all.select(
+            node_col, (F.col("h") / F.lit(h_norm)).alias("hub"))
+    return hubs.join(auth, node_col).select(
+        node_col, F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"))

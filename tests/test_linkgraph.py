@@ -95,3 +95,57 @@ def test_hub_attracts_rank(spark):
     # each round) both dominate the spokes, which hold teleport mass only
     assert got[0] > 5 * got[2] and got[1] > 5 * got[2]
     assert np.allclose(got[2:], 0.15 / n, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def _np_hits(n, edges, iters=10):
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, t in edges:
+            a[t] += h[s]
+        a = a / np.sqrt((a * a).sum())
+        h = np.zeros(n)
+        for s, t in edges:
+            h[s] += a[t]
+        h = h / np.sqrt((h * h).sum())
+    return h, a
+
+
+def _spark_hits(spark, n, edges, iters=10):
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    out = linkgraph.hits(nodes, edf, iters=iters).collect()
+    h, a = np.zeros(n), np.zeros(n)
+    for row in out:
+        h[row["doc_id"]] = row["hub"]
+        a[row["doc_id"]] = row["authority"]
+    return h, a
+
+
+def test_hits_matches_numpy_oracle(spark):
+    rng = random.Random(7)
+    n = 12
+    edges = list({(rng.randrange(n), rng.randrange(n))
+                  for _ in range(40)})
+    h, a = _spark_hits(spark, n, edges)
+    nh, na = _np_hits(n, edges)
+    assert np.allclose(h, nh, atol=1e-6)
+    assert np.allclose(a, na, atol=1e-6)
+
+
+def test_hits_star_graph(spark):
+    # every spoke points at the hub node 0: node 0 is the only
+    # authority; spokes are the (equal) hubs
+    n = 5
+    edges = [(i, 0) for i in range(1, n)]
+    h, a = _spark_hits(spark, n, edges, iters=3)
+    assert a[0] == pytest.approx(1.0, abs=1e-6)
+    assert np.allclose(a[1:], 0.0)
+    assert h[0] == pytest.approx(0.0, abs=1e-6)
+    assert np.allclose(h[1:], 0.5, atol=1e-6)
