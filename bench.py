@@ -63,6 +63,8 @@ CONTRACT_BENCH = (
     "c4_filters", "url_dedup", "semdedup",
     "lm_perplexity", "ccnet_buckets", "dedup_incremental",
     "curation_report", "events_asof", "events_range_join", "link_hits",
+    "decontam_fuzzy", "quality_classifier", "bpe_pair_counts",
+    "dup_line_stats",
 )
 
 

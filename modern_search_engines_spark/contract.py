@@ -701,6 +701,77 @@ def q_decontam_hits(spark, sf):
     return decontam.find_contaminated(d, ev, n=6)
 
 
+def _dup_lines_text_expr():
+    """Deterministic line structure WITH planted duplicates, built
+    identically in both engines (the flat synthetic corpus has no
+    newlines): 6-token chunk lines; every 7th doc repeats its first
+    line; every 13th doc appends a boilerplate line twice."""
+    toks = _tokens_col()
+    did = F.col("doc_id")
+    n_chunks = F.ceil(F.size(toks) / F.lit(6.0)).cast("int")
+    chunks = F.when(n_chunks >= 1, F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 6 + 1, 6)))
+    ).otherwise(F.array().cast("array<string>"))
+    dup_first = F.when(did % 7 == 0, F.slice(chunks, 1, 1)) \
+        .otherwise(F.array().cast("array<string>"))
+    boiler = F.when(did % 13 == 0,
+                    F.array(F.lit("subscribe to our newsletter"),
+                            F.lit("subscribe to our newsletter"))) \
+        .otherwise(F.array().cast("array<string>"))
+    return F.concat_ws("\n", F.concat(chunks, dup_first, boiler))
+
+
+def q_dup_line_stats(spark, sf):
+    """Gopher duplicate-line screens over the line-structured corpus:
+    repeated-line fraction and duplicate-line character fraction per
+    doc (planted duplicates on doc_id strides 7/13 so both statistics
+    are exercised at sf0.01)."""
+    from .operators import quality
+    docs = _docs(spark, sf).select(
+        "doc_id", _dup_lines_text_expr().alias("text"))
+    return quality.line_repetition_stats(docs)
+
+
+def q_bpe_pair_counts(spark, sf):
+    """BPE training round 1, the distributed half: word-frequency table
+    (the corpus' ONLY full pass) → frequency-weighted adjacent symbol
+    pairs (chars + </w> marker), top 20 by (cnt desc, pair asc). The
+    local merge loop over the word table is pytest-verified against an
+    independent naive trainer (tests/test_bpe.py); this entry twins the
+    corpus-side aggregation that feeds it."""
+    from .functions import bpe
+    pc = bpe.pair_counts(bpe.word_counts(_docs(spark, sf)))
+    return (pc.orderBy(F.desc("cnt"), "pair").limit(20)
+            .select("pair", "cnt"))
+
+
+def q_quality_classifier(spark, sf):
+    """fastText-style hashed-linear quality score per doc: unigram +
+    bigram features → md5[:8] buckets mod 2^16 → deterministic integer
+    LCG weights (the documented stand-in for trained coefficients) →
+    exact integer sum, score = s/(2048·n), prob = sigmoid. Map-only in
+    Spark; the twin restates the hash with a hex-digit expansion."""
+    from .operators import quality
+    return quality.hashed_linear_quality(_docs(spark, sf))
+
+
+def q_decontam_fuzzy(spark, sf):
+    """Fuzzy (MinHash-verified) decontamination: eval set = first 40
+    tokens of every 61st doc (so paraphrase-style overlap provably
+    exists and both engines derive the identical eval set); a doc is
+    contaminated when its shingle-jaccard vs some eval doc is >= 0.1
+    AND the 8-hash/4-band minhash banding surfaces the pair (the twin
+    restates the banding, so recall is identical by construction)."""
+    from .operators import decontam
+    d = _docs(spark, sf)
+    ev = (d.where(F.col("doc_id") % 61 == 0)
+          .select(F.col("doc_id").alias("eval_id"),
+                  F.concat_ws(" ", F.slice(_tokens_col(), 1, 40))
+                  .alias("text")))
+    return decontam.find_contaminated_fuzzy(d, ev, threshold=0.1)
+
+
 def q_pack_sequences(spark, sf):
     """GPT-style sequence packing manifest at seq_len=64: every
     (sequence, doc-span) row. The scale-safe two-phase global cumsum
@@ -2348,6 +2419,125 @@ SELECT doc_id, n_tokens, fail_reason IS NULL AS keep, fail_reason
 FROM flagged
 """
 
+# dup-line twin: same deterministic line construction (6-token chunks,
+# stride-7 first-line repeat, stride-13 doubled boilerplate), same
+# repeated-occurrence and duplicate-character fractions
+_ORACLE["dup_line_stats"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 1
+                THEN list_transform(
+                    generate_series(1, cast(ceil(len(toks) / 6.0) AS INT)),
+                    i -> array_to_string(
+                        list_slice(toks, (i - 1) * 6 + 1, (i - 1) * 6 + 6),
+                        ' '))
+                ELSE [] END AS chunks
+    FROM t
+),
+l AS (
+    SELECT doc_id,
+           list_concat(list_concat(chunks,
+               CASE WHEN doc_id % 7 = 0 THEN list_slice(chunks, 1, 1)
+                    ELSE [] END),
+               CASE WHEN doc_id % 13 = 0
+                    THEN ['subscribe to our newsletter',
+                          'subscribe to our newsletter']
+                    ELSE [] END) AS lines
+    FROM c
+),
+m AS (
+    SELECT doc_id, len(lines) AS n, len(list_distinct(lines)) AS nd,
+           coalesce(list_sum(list_transform(lines, x -> len(x))), 0)
+               AS total,
+           coalesce(list_sum(list_transform(list_distinct(lines),
+                                            x -> len(x))), 0) AS dist
+    FROM l
+)
+SELECT doc_id, n::BIGINT AS n_lines,
+       CASE WHEN n > 0 THEN round((n - nd) * 1.0 / n, 6)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN total > 0 THEN round((total - dist) * 1.0 / total, 6)
+            ELSE 0.0 END AS dup_char_frac
+FROM m
+"""
+
+# bpe round-1 twin: same word-frequency table, same char+</w> symbol
+# expansion, same (cnt DESC, pair ASC) top-20
+_ORACLE["bpe_pair_counts"] = """
+WITH w AS (
+    SELECT t.word AS word, count(*) AS cnt
+    FROM documents,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS t(word)
+    GROUP BY t.word
+),
+sy AS (
+    SELECT word, cnt,
+           list_append(list_transform(generate_series(1, len(word)),
+                                      i -> substr(word, i, 1)),
+                       '</w>') AS syms
+    FROM w
+),
+p AS (
+    SELECT list_extract(syms, i) || ' ' || list_extract(syms, i + 1)
+           AS pair, cnt
+    FROM sy, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+)
+SELECT pair, sum(cnt)::BIGINT AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+"""
+
+# quality-classifier twin: same feature construction (u:/b: prefixed
+# unigrams+bigrams), md5[:8]→int via hex-digit expansion (DuckDB has no
+# conv()), same LCG integer weights — the sum is integer-exact so the
+# engines agree bit-for-bit before the one final division
+_ORACLE["quality_classifier"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           list_concat(
+               list_transform(toks, x -> 'u:' || x),
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> 'b:' || list_extract(toks, i) || ' '
+                             || list_extract(toks, i + 1))
+                    ELSE [] END) AS feats
+    FROM t
+),
+s AS (
+    SELECT doc_id, len(feats)::BIGINT AS n_feats,
+           list_sum(list_transform(feats, x ->
+               ((list_sum(list_transform(generate_series(1, 8),
+                     i -> (strpos('0123456789abcdef',
+                                  substr(md5(x), i, 1)) - 1)
+                          * power(16, 8 - i)))::BIGINT % 65536)
+                * 1103515245 + 12345) % 4096 - 2048))::BIGINT AS s
+    FROM f
+),
+r AS (
+    SELECT doc_id, n_feats,
+           CASE WHEN n_feats > 0 THEN s / (2048.0 * n_feats)
+                ELSE 0.0 END AS raw
+    FROM s
+)
+SELECT doc_id, n_feats, round(raw, 6) AS score,
+       round(1.0 / (1.0 + exp(-raw)), 6) AS prob,
+       raw > 0 AS label
+FROM r
+"""
+
 # c4 twin: the same deterministic line construction, then the same line
 # rules (terminal punct / >=5 words / no javascript) and page rules
 # (lorem ipsum / brace / bad word / >=3 sentences, first failure named)
@@ -2595,6 +2785,55 @@ SELECT n.doc_id,
 FROM newd n LEFT JOIN ex USING (doc_id) LEFT JOIN near USING (doc_id)
 """
 
+# fuzzy-decontam twin: eval set = 40-token prefixes of every 61st doc,
+# same 8-hash/4-band minhash banding as dedup_incremental, exact
+# jaccard verify at threshold 0.1, best match by (j DESC, eval_id)
+_ORACLE["decontam_fuzzy"] = f"""
+WITH {_CROSS_SHINGLES},
+evd AS (
+    SELECT doc_id AS eval_id,
+           array_to_string(list_slice(
+               list_filter(string_split(text, ' '), x -> x <> ''),
+               1, 40), ' ') AS text
+    FROM documents WHERE doc_id % 61 = 0),
+she AS (
+    SELECT DISTINCT eval_id, s.sh AS sh
+    FROM (
+        SELECT eval_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                    ELSE [] END AS shs
+        FROM (SELECT eval_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                     AS toks FROM evd)
+    ) d, unnest(d.shs) AS s(sh)),
+sigc AS (SELECT doc_id, {_minhash_cols} FROM shd GROUP BY doc_id),
+sige AS (SELECT eval_id AS doc_id, {_minhash_cols} FROM she
+         GROUP BY eval_id),
+bc AS ({_cross_bands("sigc", "doc_id")}),
+be AS ({_cross_bands("sige", "doc_id AS eval_id")}),
+cand AS (SELECT DISTINCT doc_id, eval_id FROM bc JOIN be USING (band)),
+szc AS (SELECT doc_id, count(*) AS na FROM shd GROUP BY doc_id),
+sze AS (SELECT eval_id, count(*) AS nb FROM she GROUP BY eval_id),
+inter AS (
+    SELECT c.doc_id, c.eval_id, count(*) AS i
+    FROM cand c
+    JOIN shd a ON a.doc_id = c.doc_id
+    JOIN she b ON b.eval_id = c.eval_id AND b.sh = a.sh
+    GROUP BY c.doc_id, c.eval_id),
+jac AS (
+    SELECT doc_id, eval_id, i::DOUBLE / (na + nb - i) AS j
+    FROM inter JOIN szc USING (doc_id) JOIN sze USING (eval_id)
+    WHERE i::DOUBLE / (na + nb - i) >= 0.1)
+SELECT doc_id, eval_id::BIGINT AS eval_id, round(j, 6) AS jaccard
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY j DESC, eval_id) AS rn
+      FROM jac)
+WHERE rn = 1
+"""
+
 # lm twin: identical add-k bigram LM (k=0.5) — same per-(doc,gram)
 # integer pre-aggregation so the float sum has the same terms in both
 # engines, same ln((n12+k)/(n1+kV)) formula shape as the dsir twin
@@ -2721,6 +2960,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
     "link_hits": q_link_hits,
+    "decontam_fuzzy": q_decontam_fuzzy,
+    "quality_classifier": q_quality_classifier,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "dup_line_stats": q_dup_line_stats,
 }
 
 

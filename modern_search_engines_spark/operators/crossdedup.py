@@ -58,6 +58,15 @@ def seen_index(seen: DataFrame, text_col: str = "text",
     return md5, sig, sh
 
 
+def seen_bloom_filter(seen_md5: DataFrame, n_keys: int | None = None,
+                      fpp: float = 0.01):
+    """Build the reusable broadcast Bloom prefilter over a seen-md5
+    table (persist it next to the seen index; rebuild per ingest).
+    See ``operators/bloom.py`` for sizing/sharding guidance."""
+    from . import bloom
+    return bloom.build_bloom(seen_md5, "text_md5", n_keys, fpp)
+
+
 def dedup_against(new: DataFrame, seen: DataFrame | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
                   n_minhash: int = 8, n_bands: int = 4,
@@ -65,7 +74,8 @@ def dedup_against(new: DataFrame, seen: DataFrame | None = None,
                   seen_md5: DataFrame | None = None,
                   seen_sig: DataFrame | None = None,
                   seen_sh: DataFrame | None = None,
-                  max_band_docs: int | None = None) -> DataFrame:
+                  max_band_docs: int | None = None,
+                  seen_bloom=None) -> DataFrame:
     """(id, status, dup_of, jaccard) — every NEW doc classified against
     the seen corpus. Pass either ``seen`` (the index is derived) or the
     three precomputed ``seen_*`` tables.
@@ -89,7 +99,16 @@ def dedup_against(new: DataFrame, seen: DataFrame | None = None,
     base = new.select(F.col(id_col),
                       F.md5(F.col(text_col).cast("binary"))
                       .alias("text_md5"))
-    exact = (base.join(seen_md5, "text_md5")
+    # optional Bloom prefilter (``seen_bloom_filter``): map-only
+    # might-contain over the dump BEFORE the keyed join, so only true
+    # dups + ~fpp false positives shuffle; the join below verifies
+    # exactly — the output is identical with or without it
+    probe = base
+    if seen_bloom is not None:
+        from . import bloom
+        probe = base.where(
+            bloom.might_contain(seen_bloom, F.col("text_md5")))
+    exact = (probe.join(seen_md5, "text_md5")
              .select(id_col, F.col("seen_id").alias("__exact")))
 
     near = None

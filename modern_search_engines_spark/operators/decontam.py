@@ -69,6 +69,87 @@ def find_contaminated(docs: DataFrame, evalset: DataFrame, n: int = 8,
             .agg(F.count_distinct("gram").cast("long").alias("n_hits")))
 
 
+def find_contaminated_fuzzy(docs: DataFrame, evalset: DataFrame,
+                            threshold: float = 0.5,
+                            n_minhash: int = 8, n_bands: int = 4,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            eval_id_col: str = "eval_id",
+                            eval_text_col: str = "text",
+                            broadcast_eval: bool = True) -> DataFrame:
+    """(id, eval_id, jaccard) — FUZZY decontamination: every training
+    doc whose word-trigram shingle set has Jaccard ≥ ``threshold``
+    against some benchmark document (best match: highest jaccard, ties
+    to the smallest eval id). The exact n-gram probe
+    (``find_contaminated``) misses paraphrased/reformatted benchmark
+    leaks (whitespace renorm, one token edited per window kills every
+    exact window); this is the near-dup complement the public pipelines
+    pair with it (e.g. the Llama/GPT-4 eval-overlap appendices measure
+    token-overlap fractions rather than exact windows only).
+
+    Scale shape — same asymmetry as the exact probe:
+
+    * eval side (10^3-10^6 docs) → minhash signatures + band keys +
+      shingles, all **broadcast**; the corpus side is one shingle pass
+      and a map-side band probe — the corpus never shuffles to find
+      candidates (``broadcast_eval=False`` flips every eval join to a
+      shuffle join for corpus-vs-corpus, nothing else changes);
+    * candidates are verified with EXACT jaccard (intersection against
+      the broadcast eval shingle table), so false positives are zero
+      and recall is the standard banding curve 1-(1-s^r)^b — raise
+      ``n_minhash``/``n_bands`` to push recall at the threshold.
+    """
+    from . import crossdedup, dedup
+
+    sh_c = crossdedup.shingles_of(docs, text_col, id_col)
+    sh_e = (crossdedup.shingles_of(
+        evalset.select(F.col(eval_id_col).alias("doc_id"),
+                       F.col(eval_text_col).alias("text")))
+        .withColumnRenamed("doc_id", "eval_id"))
+    sig_c = dedup.minhash_signatures(sh_c, n_minhash)
+    sig_e = dedup.minhash_signatures(
+        sh_e.withColumnRenamed("eval_id", "doc_id"), n_minhash)
+
+    rows = n_minhash // n_bands
+    assert rows * n_bands == n_minhash, "n_bands must divide n_minhash"
+
+    def _bands(sig: DataFrame, name: str) -> DataFrame:
+        arr = F.array(*[
+            F.concat_ws("|", F.lit(str(j)),
+                        *[F.col(f"h{rows * j + r}") for r in range(rows)])
+            for j in range(n_bands)])
+        return sig.select(F.col("doc_id").alias(name),
+                          F.explode(arr).alias("band"))
+
+    eb = _bands(sig_e, "eval_id")
+    esh = sh_e
+    esz = sh_e.groupBy("eval_id").agg(F.count(F.lit(1)).alias("nb"))
+    if broadcast_eval:
+        eb, esh, esz = F.broadcast(eb), F.broadcast(esh), F.broadcast(esz)
+
+    cand = (_bands(sig_c, id_col).join(eb, "band")
+            .select(id_col, "eval_id").distinct())
+    csz = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na")) \
+              .withColumnRenamed("doc_id", id_col)
+    inter = (cand
+             .join(sh_c.withColumnRenamed("doc_id", id_col), id_col)
+             .join(esh, ["eval_id", "sh"])
+             .groupBy(id_col, "eval_id")
+             .agg(F.count(F.lit(1)).alias("i")))
+    jac = (inter.join(csz, id_col).join(esz, "eval_id")
+           .select(id_col, "eval_id",
+                   (F.col("i").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"))
+           .where(F.col("j") >= threshold))
+    # best match per doc: one map-side-combinable min over an orderable
+    # struct (same pattern as crossdedup.dedup_against)
+    return (jac.groupBy(id_col)
+            .agg(F.min(F.struct((-F.col("j")).alias("nj"),
+                                F.col("eval_id").alias("eid"))).alias("b"))
+            .select(id_col, F.col("b.eid").alias("eval_id"),
+                    F.round(-F.col("b.nj"), 6).alias("jaccard")))
+
+
 def decontaminate(docs: DataFrame, evalset: DataFrame, n: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
                   eval_text_col: str = "text",

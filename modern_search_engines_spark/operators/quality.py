@@ -143,3 +143,136 @@ def gopher_quality_filter(docs: DataFrame, text_col: str = "text",
         n.cast("long").alias("n_tokens"),
         reason.isNull().alias("keep"),
         reason.alias("fail_reason"))
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality classifier (fastText-style)
+# ---------------------------------------------------------------------------
+#
+# The model-based quality gate of the public pipelines (CCNet and
+# FineWeb-Edu score pages with a linear fastText classifier; DCLM uses
+# the same shape): features = unigrams + token bigrams, hashed into a
+# fixed bucket space, score = mean of per-bucket weights, prob =
+# sigmoid(score). Everything below is pure JVM column expressions —
+# hashing, weight lookup and the sum run inside whole-stage codegen, so
+# the default path is a MAP-ONLY pass (zero shuffle at any corpus
+# size). A trained model drops in as a (bucket, weight) table via
+# ``weights=`` (broadcast + one map-combinable aggregation).
+#
+# The built-in weights are a deterministic LCG over the bucket id —
+# explicitly a stand-in for trained coefficients (same stance as
+# operators/mlhooks.py): INTEGER weights in [-2048, 2047], so the
+# per-document sum is an exact integer (order-independent, identical
+# across engines) and only the final division is float.
+
+QC_N_BUCKETS = 1 << 16
+_QC_A, _QC_C, _QC_M, _QC_HALF = 1103515245, 12345, 4096, 2048
+
+
+def hashed_feature_buckets_expr(toks: Column,
+                                n_buckets: int = QC_N_BUCKETS) -> Column:
+    """token array → array of feature-bucket ids: "u:"-prefixed
+    unigrams ++ "b:"-prefixed bigrams, each hashed to
+    ``conv(md5[:8], 16, 10) % n_buckets`` (md5's first 32 bits —
+    uniform, engine-independent, and restatable 1:1 in ANSI SQL)."""
+    uni = F.transform(toks, lambda t: F.concat(F.lit("u:"), t))
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat(F.lit("b:"), F.element_at(toks, i),
+                                       F.lit(" "),
+                                       F.element_at(toks, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(uni, bi),
+        lambda f: F.conv(F.substring(F.md5(f.cast("binary")), 1, 8),
+                         16, 10).cast("long") % n_buckets)
+
+
+def _lcg_weight_int(bucket: Column) -> Column:
+    """Deterministic stand-in weight for a bucket: integer in
+    [-2048, 2047] via a fixed LCG (bucket*a + c) % m - m/2. Bucket ids
+    are < 2^32 so the product stays well inside int64."""
+    return (bucket * F.lit(_QC_A) + F.lit(_QC_C)) % F.lit(_QC_M) \
+        - F.lit(_QC_HALF)
+
+
+def hashed_linear_quality(docs: DataFrame, weights: DataFrame | None = None,
+                          n_buckets: int = QC_N_BUCKETS,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, n_feats, score, prob, label) — fastText-style hashed linear
+    quality score per document.
+
+    * ``weights=None`` (default): the LCG stand-in model, map-only —
+      score = sum(int weights)/(2048·n_feats) ∈ [-1, 1], an exact
+      integer sum so the value is identical across engines and
+      partitionings; prob = sigmoid(score); label = score > 0.
+    * ``weights=`` a (bucket BIGINT, weight DOUBLE) table — the trained
+      path: features explode, the weight table is broadcast (a fastText
+      bucket space is ≤ 2M rows ≈ 32 MB), missing buckets weigh 0.0,
+      and the per-doc sum is one map-side-combinable aggregation — the
+      corpus side still never shuffles more than the (id, n_feats) agg.
+
+    Empty documents score 0.0 / prob 0.5 / label false (flag-don't-drop:
+    the caller composes this with gopher_quality_filter / doc_quality)."""
+    d = docs.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+    buckets = hashed_feature_buckets_expr(F.col("toks"), n_buckets)
+    if weights is None:
+        wsum = F.aggregate(F.transform(buckets, _lcg_weight_int),
+                           F.lit(0).cast("long"), lambda acc, v: acc + v)
+        base = d.select(F.col(id_col),
+                        F.size(buckets).cast("long").alias("n_feats"),
+                        wsum.alias("s"))
+        raw = F.when(F.col("n_feats") > 0,
+                     F.col("s").cast("double")
+                     / (F.lit(float(_QC_HALF)) * F.col("n_feats"))
+                     ).otherwise(F.lit(0.0))
+    else:
+        feats = d.select(F.col(id_col),
+                         F.size(buckets).cast("long").alias("n_feats"),
+                         F.explode_outer(buckets).alias("bucket"))
+        base = (feats.join(F.broadcast(weights), "bucket", "left")
+                .groupBy(id_col, "n_feats")
+                .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0)))
+                     .alias("s")))
+        raw = F.when(F.col("n_feats") > 0,
+                     F.col("s") / F.col("n_feats")).otherwise(F.lit(0.0))
+    return base.select(
+        id_col, "n_feats",
+        F.round(raw, 6).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("prob"),
+        (raw > 0).alias("label"))
+
+
+def line_repetition_stats(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          sep: str = "\n") -> DataFrame:
+    """(id, n_lines, dup_line_frac, dup_char_frac) — Gopher's
+    within-document duplicate-LINE screens (Rae et al. 2021 A1.1:
+    pages over 30% duplicate lines / 20% characters in duplicate lines
+    are dropped; this emits the two statistics, flag-don't-drop like
+    ``gopher_quality_filter``, and composes with the word-trigram
+    ``repetition_ratio_expr`` which catches rephrasing the line screens
+    miss).
+
+    dup_line_frac = repeated line occurrences / lines;
+    dup_char_frac = characters in occurrences beyond each line's first
+    / total line characters. Empty-line runs are dropped before
+    counting. Pure JVM array expressions — map-only, zero shuffle."""
+    lines = F.filter(F.split(F.col(text_col), sep), lambda x: x != "")
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    total = F.aggregate(F.transform(lines, lambda ln: F.length(ln)),
+                        F.lit(0), lambda a, v: a + v)
+    dist = F.aggregate(
+        F.transform(F.array_distinct(lines), lambda ln: F.length(ln)),
+        F.lit(0), lambda a, v: a + v)
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_lines"),
+        F.when(n > 0, F.round((n - nd).cast("double") / n, 6))
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(total > 0,
+               F.round((total - dist).cast("double") / total, 6))
+        .otherwise(F.lit(0.0)).alias("dup_char_frac"))

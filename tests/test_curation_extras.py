@@ -178,3 +178,35 @@ def test_span_dedup_layout_independent(spark):
     a = spandedup.remove_duplicate_spans(df, k=4)
     b = spandedup.remove_duplicate_spans(df.repartition(7, "text"), k=4)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- Gopher duplicate-line screens (line_repetition_stats) ------------
+
+def test_line_repetition_stats_planted(spark):
+    d = spark.createDataFrame([
+        (0, "aaa\nbbb\nccc"),             # no dups
+        (1, "aaa\naaa\nbb"),              # 1 repeated occurrence of 3
+        (2, "x\nx\nx\nx"),                # 3 repeats of 4
+        (3, ""),                          # empty
+        (4, "solo"),
+        (5, "long line here\n\nlong line here"),  # empty line dropped
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           quality.line_repetition_stats(d).collect()}
+    assert (got[0]["n_lines"], got[0]["dup_line_frac"]) == (3, 0.0)
+    assert got[1]["n_lines"] == 3
+    assert abs(got[1]["dup_line_frac"] - 1 / 3) < 1e-6
+    # chars: aaa aaa bb -> total 8, distinct 5 -> 3/8
+    assert abs(got[1]["dup_char_frac"] - 3 / 8) < 1e-6
+    assert got[2]["dup_line_frac"] == 0.75
+    assert (got[3]["n_lines"], got[3]["dup_line_frac"],
+            got[3]["dup_char_frac"]) == (0, 0.0, 0.0)
+    assert got[4]["dup_line_frac"] == 0.0
+    assert got[5]["n_lines"] == 2 and got[5]["dup_line_frac"] == 0.5
+
+
+def test_line_repetition_stats_is_map_only(spark):
+    d = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+    plan = quality.line_repetition_stats(d) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -147,6 +147,24 @@ def test_decontam_probe_is_broadcast_semi_join(spark):
     assert "LeftSemi" in plan, plan
 
 
+def test_fuzzy_decontam_eval_side_is_broadcast(spark):
+    """Fuzzy decontam's candidate probe and jaccard verify must
+    broadcast the eval side (bands, shingles, sizes) — the corpus side
+    never shuffles to FIND candidates, and no join degenerates to a
+    cartesian/nested-loop product."""
+    from modern_search_engines_spark.operators import decontam
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in
+         range(50)], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "eval_id long, text string")
+    plan = _plan(decontam.find_contaminated_fuzzy(docs, ev, threshold=0.2))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_packing_has_no_corpus_wide_window(spark):
     """The global token cumsum must never be a single-partition window:
     the only ORDER BY windows allowed are partitioned by pid (parallel)

@@ -43,6 +43,49 @@ class TestDecontam:
         assert decontam.find_contaminated(d, ev, n=6).count() == 0
 
 
+class TestDecontamFuzzy:
+    EV = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def _ev(self, spark, *texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "eval_id long, text string")
+
+    def test_catches_one_token_edit_the_exact_probe_misses(self, spark):
+        # one mid-document token edited: EVERY 6-token window contains
+        # the edit, so the exact n-gram probe finds nothing — but 5 of
+        # 8 trigram shingles survive (j = 5/11 ≈ 0.4545)
+        edited = self.EV.replace("zeta", "zzz")
+        d = _docs(spark, [(0, edited),
+                          (1, "an unrelated spark document entirely")])
+        ev = self._ev(spark, self.EV)
+        assert decontam.find_contaminated(d, ev, n=6).count() == 0
+        got = decontam.find_contaminated_fuzzy(d, ev, threshold=0.3).collect()
+        assert [(r["doc_id"], r["eval_id"]) for r in got] == [(0, 0)]
+        assert abs(got[0]["jaccard"] - 5 / 11) < 1e-6
+
+    def test_threshold_gates_exactly(self, spark):
+        edited = self.EV.replace("zeta", "zzz")
+        d = _docs(spark, [(0, edited)])
+        ev = self._ev(spark, self.EV)
+        assert decontam.find_contaminated_fuzzy(
+            d, ev, threshold=0.5).count() == 0  # 0.4545 < 0.5
+
+    def test_best_match_highest_jaccard_then_min_eval_id(self, spark):
+        d = _docs(spark, [(0, self.EV)])
+        # eval 0 = exact copy (j=1.0), eval 1 = edited (j<1): best is 0
+        ev = self._ev(spark, self.EV, self.EV.replace("zeta", "zzz"))
+        got = decontam.find_contaminated_fuzzy(d, ev, threshold=0.3).collect()
+        assert [(r["doc_id"], r["eval_id"], r["jaccard"])
+                for r in got] == [(0, 0, 1.0)]
+
+    def test_disjoint_docs_never_flagged(self, spark):
+        d = _docs(spark, [(0, "one two three four five six seven eight")])
+        ev = self._ev(spark, self.EV)
+        assert decontam.find_contaminated_fuzzy(
+            d, ev, threshold=0.05).count() == 0
+
+
 class TestPacking:
     def test_exact_layout_tiny(self, spark):
         # doc0: 3 tokens, doc1: 5, doc2: 4 → stream of 12, seq_len=5
