@@ -401,16 +401,21 @@ def main() -> None:
         # is corroborated — a second sample within 10% says the min sits
         # near the machine's true floor rather than being the one sample
         # that escaped a degraded phase. While either level's min is
-        # uncorroborated, add a pair (up to two). Triggered by sample
-        # agreement, never by the ratio's value, so it adds precision
-        # without optional stopping on the metric itself. (A plain
-        # max/min variance trigger fires on EVERY run in this sandbox's
-        # weather — measured spreads 1.4-1.6 across 30 minutes — and
-        # just burns 7 minutes re-measuring an already-corroborated min.)
+        # uncorroborated, add a pair (up to FOUR — an 8-pair run on
+        # 2026-08-19 ended with its lo floor still uncorroborated, its
+        # hi floor stuck in a degraded phase 8% above other runs' floors,
+        # and the ratio biased low as a result; min-estimators only
+        # converge to the true floor with more draws). Triggered by
+        # sample agreement, never by the ratio's value, so it adds
+        # precision without optional stopping on the metric itself. (A
+        # plain max/min variance trigger fires on EVERY run in this
+        # sandbox's weather — measured spreads 1.4-1.6 across 30 minutes
+        # — and just burns 7 minutes re-measuring an already-
+        # corroborated min.)
         def _uncorroborated(v: list[float]) -> bool:
             s = sorted(v)
             return s[1] / s[0] > 1.10
-        for extra in ("g", "h"):
+        for extra in ("g", "h", "i", "j"):
             if not (_uncorroborated(samples["lo"])
                     or _uncorroborated(samples["hi"])):
                 break

@@ -51,8 +51,12 @@ def main(argv: list[str] | None = None) -> int:
         params = {"n_merges": args.n_merges, "max_words": args.max_words,
                   "text_col": args.text_col}
 
+        # the corpus-wide stage depends ONLY on (docs, text_col) — the
+        # merge-loop knobs must not invalidate it, or every tokenizer
+        # tuning rerun repeats the one expensive pass
         wc = sw.write_stage(bpe.word_counts(docs, args.text_col),
-                            "word_counts", params=params)
+                            "word_counts",
+                            params={"text_col": args.text_col})
         merges, stats = bpe.train_bpe(wc, args.n_merges, args.max_words)
 
         merges_path = os.path.join(args.out, "merges.json")

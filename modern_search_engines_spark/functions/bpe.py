@@ -76,9 +76,13 @@ def train_bpe(words: DataFrame, n_merges: int,
     ``max_words`` cap so the approximation is loud. Ties break
     deterministically: highest pair count, then lexicographically
     smallest pair — layout/partitioning never changes the result."""
+    # two actions read the word table (top-k collect + total mass);
+    # persist so the corpus-wide groupBy underneath runs once
+    words = words.persist()
     top = (words.orderBy(F.desc("cnt"), "word").limit(max_words)
            .collect())
     total = words.agg(F.sum("cnt")).collect()[0][0] or 0
+    words.unpersist()
     covered = sum(r["cnt"] for r in top)
     vocab: dict[tuple[str, ...], int] = {
         tuple(r["word"]) + (END_OF_WORD,): r["cnt"] for r in top}
@@ -133,7 +137,7 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
-               text_col: str = "text", id_col: str = "doc_id",
+               text_col: str = "text",
                out_col: str = "bpe_tokens") -> DataFrame:
     """docs + ``out_col`` array<string> of BPE tokens. One Arrow-batched
     pandas UDF; the merge ranks ride the closure (broadcast once per

@@ -106,13 +106,21 @@ def build_bloom(keys: DataFrame, hex_col: str = "text_md5",
 def might_contain(bloom: BloomFilter, hex_col: Column) -> Column:
     """Boolean Column: bitmap membership test for an md5-hex column.
     Positions are computed JVM-side; the UDF is pure numpy over the
-    broadcast bitmap (one bytes object per executor, Arrow batches)."""
+    broadcast bitmap (one bytes object per executor, Arrow batches).
+    The broadcast is cached ON the BloomFilter — probing N dumps with
+    one filter ships/pins the (potentially GB-scale) bitmap once, not
+    once per call — and is rebuilt if the SparkContext changed."""
     import numpy as np
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
-    spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast(bloom.bits)
+    sc = SparkSession.getActiveSession().sparkContext
+    bc = getattr(bloom, "_bc", None)
+    if bc is None or getattr(bloom, "_bc_ctx", None) is not sc:
+        bc = sc.broadcast(bloom.bits)
+        # frozen dataclass: stash the cache outside the field set
+        object.__setattr__(bloom, "_bc", bc)
+        object.__setattr__(bloom, "_bc_ctx", sc)
 
     @pandas_udf("boolean")
     def _probe(pos: pd.Series) -> pd.Series:

@@ -113,18 +113,11 @@ def dedup_against(new: DataFrame, seen: DataFrame | None = None,
 
     near = None
     if jaccard_threshold is not None:
-        rows = n_minhash // n_bands
-        assert rows * n_bands == n_minhash, "n_bands must divide n_minhash"
         sh_new = shingles_of(new, text_col, id_col)
         sig_new = dedup.minhash_signatures(sh_new, n_minhash)
 
         def _bands(sig: DataFrame, name: str) -> DataFrame:
-            arr = F.array(*[
-                F.concat_ws("|", F.lit(str(j)),
-                            *[F.col(f"h{rows * j + r}") for r in range(rows)])
-                for j in range(n_bands)])
-            return sig.select(F.col("doc_id").alias(name),
-                              F.explode(arr).alias("band"))
+            return dedup.banded_ids(sig, name, n_minhash, n_bands)
 
         seen_bands = _bands(seen_sig, "seen_id")
         if max_band_docs is not None:

@@ -76,7 +76,9 @@ def find_contaminated_fuzzy(docs: DataFrame, evalset: DataFrame,
                             id_col: str = "doc_id",
                             eval_id_col: str = "eval_id",
                             eval_text_col: str = "text",
-                            broadcast_eval: bool = True) -> DataFrame:
+                            broadcast_eval: bool = True,
+                            cache_registry: list | None = None
+                            ) -> DataFrame:
     """(id, eval_id, jaccard) — FUZZY decontamination: every training
     doc whose word-trigram shingle set has Jaccard ≥ ``threshold``
     against some benchmark document (best match: highest jaccard, ties
@@ -98,10 +100,17 @@ def find_contaminated_fuzzy(docs: DataFrame, evalset: DataFrame,
       the broadcast eval shingle table), so false positives are zero
       and recall is the standard banding curve 1-(1-s^r)^b — raise
       ``n_minhash``/``n_bands`` to push recall at the threshold.
+
+    The corpus shingle table feeds three subtrees (signatures, the
+    verify join, sizes) and is ``.cache()``d; long-lived sessions pass
+    ``cache_registry`` and unpersist afterwards (the plans/clean.py
+    convention).
     """
     from . import crossdedup, dedup
 
-    sh_c = crossdedup.shingles_of(docs, text_col, id_col)
+    sh_c = crossdedup.shingles_of(docs, text_col, id_col).cache()
+    if cache_registry is not None:
+        cache_registry.append(sh_c)
     sh_e = (crossdedup.shingles_of(
         evalset.select(F.col(eval_id_col).alias("doc_id"),
                        F.col(eval_text_col).alias("text")))
@@ -110,16 +119,8 @@ def find_contaminated_fuzzy(docs: DataFrame, evalset: DataFrame,
     sig_e = dedup.minhash_signatures(
         sh_e.withColumnRenamed("eval_id", "doc_id"), n_minhash)
 
-    rows = n_minhash // n_bands
-    assert rows * n_bands == n_minhash, "n_bands must divide n_minhash"
-
     def _bands(sig: DataFrame, name: str) -> DataFrame:
-        arr = F.array(*[
-            F.concat_ws("|", F.lit(str(j)),
-                        *[F.col(f"h{rows * j + r}") for r in range(rows)])
-            for j in range(n_bands)])
-        return sig.select(F.col("doc_id").alias(name),
-                          F.explode(arr).alias("band"))
+        return dedup.banded_ids(sig, name, n_minhash, n_bands)
 
     eb = _bands(sig_e, "eval_id")
     esh = sh_e

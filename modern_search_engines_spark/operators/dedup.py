@@ -193,6 +193,29 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_keys(n_hashes: int, n_bands: int):
+    """array<string> of LSH band keys ``'j|h_a|h_b…'`` over a signature
+    row's h0..h{n-1} columns — THE band construction, shared by the
+    self-join LSH here, ``crossdedup.dedup_against`` and
+    ``decontam.find_contaminated_fuzzy`` (and restated 1:1 in their
+    DuckDB twins — change it in lockstep)."""
+    rows = n_hashes // n_bands
+    assert rows * n_bands == n_hashes, "n_bands must divide n_minhash"
+    return F.array(*[
+        F.concat_ws("|", F.lit(str(j)),
+                    *[F.col(f"h{rows * j + r}") for r in range(rows)])
+        for j in range(n_bands)
+    ])
+
+
+def banded_ids(sig: DataFrame, name: str, n_hashes: int,
+               n_bands: int) -> DataFrame:
+    """signature table → (``name``, band) exploded band-key rows."""
+    return sig.select(F.col("doc_id").alias(name),
+                      F.explode(minhash_band_keys(n_hashes, n_bands))
+                      .alias("band"))
+
+
 def lsh_band_pairs(sig: DataFrame, n_hashes: int = 8,
                    n_bands: int = 4) -> DataFrame:
     """(doc_a, doc_b) — docs whose minhash signatures share any band
@@ -201,14 +224,7 @@ def lsh_band_pairs(sig: DataFrame, n_hashes: int = 8,
     Probability a pair at jaccard s collides ≈ 1-(1-s^r)^b. Pass a
     ``.cache()``d sig when the caller reuses it (both join sides read
     the banded projection)."""
-    rows = n_hashes // n_bands
-    assert rows * n_bands == n_hashes, "n_bands must divide n_hashes"
-    bands = F.array(*[
-        F.concat_ws("|", F.lit(str(j)),
-                    *[F.col(f"h{rows * j + r}") for r in range(rows)])
-        for j in range(n_bands)
-    ])
-    bd = sig.select("doc_id", F.explode(bands).alias("band"))
+    bd = banded_ids(sig, "doc_id", n_hashes, n_bands)
     a, b = bd.alias("a"), bd.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -259,8 +259,11 @@ def line_repetition_stats(docs: DataFrame, text_col: str = "text",
     dup_line_frac = repeated line occurrences / lines;
     dup_char_frac = characters in occurrences beyond each line's first
     / total line characters. Empty-line runs are dropped before
-    counting. Pure JVM array expressions — map-only, zero shuffle."""
-    lines = F.filter(F.split(F.col(text_col), sep), lambda x: x != "")
+    counting. ``sep`` is a LITERAL separator (quoted before reaching
+    Java's regex split, so '|' or '.' behave as text, not patterns).
+    Pure JVM array expressions — map-only, zero shuffle."""
+    lines = F.filter(F.split(F.col(text_col), "\\Q" + sep + "\\E"),
+                     lambda x: x != "")
     n = F.size(lines)
     nd = F.size(F.array_distinct(lines))
     total = F.aggregate(F.transform(lines, lambda ln: F.length(ln)),

@@ -30,17 +30,19 @@ DOCS_SCHEMA = ("doc_id long, ts timestamp, url string, text string")
 
 
 def dedup_docs_stream(docs: DataFrame, text_col: str = "text",
-                      ts_col: str = "ts",
+                      ts_col: str = "ts", id_col: str = "doc_id",
                       watermark: str = "2 hours") -> DataFrame:
     """Streaming frame → same frame minus within-horizon duplicate
-    texts (first arrival wins; key = md5(text))."""
+    texts (first arrival wins; key = md5(text)). ``id_col`` is only the
+    deterministic tiebreak of the static twin (streaming keeps
+    whichever physical row arrives first)."""
     keyed = docs.withColumn("__k", F.md5(F.col(text_col).cast("binary")))
     if docs.isStreaming:
         keyed = keyed.withWatermark(ts_col, watermark)
         return keyed.dropDuplicatesWithinWatermark(["__k"]).drop("__k")
-    # static twin for tests/backfills: first arrival by (ts, doc_id)
+    # static twin for tests/backfills: first arrival by (ts, id)
     from pyspark.sql import Window
-    w = Window.partitionBy("__k").orderBy(ts_col, "doc_id")
+    w = Window.partitionBy("__k").orderBy(ts_col, id_col)
     return (keyed.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn", "__k"))
 
@@ -55,7 +57,8 @@ def start_dedup_stream(spark: SparkSession, docs_dir: str, out_dir: str,
     stream = (spark.readStream.schema(DOCS_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(docs_dir))
-    deduped = dedup_docs_stream(stream, text_col, ts_col, watermark)
+    deduped = dedup_docs_stream(stream, text_col, ts_col,
+                                watermark=watermark)
     return (deduped.writeStream
             .format("parquet")
             .outputMode("append")

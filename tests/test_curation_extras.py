@@ -210,3 +210,10 @@ def test_line_repetition_stats_is_map_only(spark):
     plan = quality.line_repetition_stats(d) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_line_repetition_sep_is_literal_not_regex(spark):
+    d = spark.createDataFrame([(0, "aa|bb|aa")], "doc_id long, text string")
+    r = quality.line_repetition_stats(d, sep="|").collect()[0]
+    assert r["n_lines"] == 3          # '|' split as text, not regex-alternation
+    assert abs(r["dup_line_frac"] - 1 / 3) < 1e-6
