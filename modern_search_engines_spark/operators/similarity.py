@@ -260,7 +260,7 @@ def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
 def semdedup(emb: DataFrame, threshold: float = 0.9,
              cluster_col: str = "label", id_col: str = "vec_id",
              round_to: int = 6,
-             max_cluster_docs: int | None = None) -> DataFrame:
+             max_cluster_docs: int | str | None = "auto") -> DataFrame:
     """(id, <cluster_col>, keep, dup_of) — SemDeDup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication"): within each pre-computed cluster, a vector is a
@@ -278,22 +278,34 @@ def semdedup(emb: DataFrame, threshold: float = 0.9,
     within-cluster pair scan — quadratic in cluster size BY DESIGN
     (SemDeDup's k is chosen so clusters stay ~sqrt-sized; this is the
     verify stage, not a banding stage). ``max_cluster_docs`` is the
-    loud guard for skewed clusterings: when set, the operator counts
-    cluster sizes first (one cheap aggregate) and raises instead of
-    launching a quadratic job on a degenerate cluster — re-cluster or
-    band (``embedding_near_dups``) instead.
+    loud guard for skewed clusterings, ON BY DEFAULT: ``"auto"`` counts
+    cluster sizes first (one cheap aggregate) and raises when any
+    cluster exceeds max(200, 10·sqrt(N)) — a well-clustered corpus at
+    the paper's k ≈ sqrt(N) sits far under 10× the mean cluster size —
+    instead of launching a quadratic job on a degenerate cluster.
+    Re-cluster finer or band (``embedding_near_dups``) on violation.
+    Pass an int for an explicit cap, or ``None`` to opt OUT (only for
+    inputs whose clustering is already size-bounded upstream).
     """
     if max_cluster_docs is not None:
-        over = (emb.groupBy(cluster_col)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .where(F.col("__n") > max_cluster_docs)
-                .limit(1).collect())
-        if over:
+        stats = (emb.groupBy(cluster_col)
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .agg(F.sum("__n").alias("__total"),
+                      F.max(F.struct("__n", cluster_col)).alias("__top"))
+                 .collect()[0])
+        n_total = int(stats["__total"] or 0)
+        if max_cluster_docs == "auto":
+            cap = max(200, int(10.0 * n_total ** 0.5))
+        else:
+            cap = int(max_cluster_docs)
+        if n_total and int(stats["__top"]["__n"]) > cap:
             raise ValueError(
-                f"semdedup: cluster {over[0][0]} has {over[0][1]} > "
-                f"max_cluster_docs={max_cluster_docs} vectors — the "
-                "within-cluster pair scan would be quadratic in it; "
-                "re-cluster finer or use embedding_near_dups banding")
+                f"semdedup: cluster {stats['__top'][cluster_col]} has "
+                f"{stats['__top']['__n']} > max_cluster_docs={cap} "
+                "vectors — the within-cluster pair scan would be "
+                "quadratic in it; re-cluster finer or use "
+                "embedding_near_dups banding (pass max_cluster_docs="
+                "None only when cluster sizes are bounded upstream)")
     base = emb.select(F.col(id_col), F.col(cluster_col), "embedding")
     a, b = base.alias("a"), base.alias("b")
     cos = F.round(_cos_pair_expr(F.col("a.embedding"),

@@ -171,6 +171,25 @@ def test_semdedup_cluster_cap_guard(spark):
     assert all(r["keep"] for r in got.values())
 
 
+def test_semdedup_auto_guard_raises_on_degenerate_cluster(spark):
+    # default guard ("auto", cap = max(200, 10*sqrt(N))) must refuse a
+    # single 1100-row cluster (cap = 331) without being asked
+    rows = [(i, 0, [1.0, float(i)]) for i in range(1100)]
+    with pytest.raises(ValueError, match="quadratic"):
+        _sem(spark, rows, threshold=0.999)
+    # explicit opt-out still runs it (bounded-upstream escape hatch)
+    got = _sem(spark, rows[:8], threshold=1.1, max_cluster_docs=None)
+    assert all(r["keep"] for r in got.values())
+
+
+def test_semdedup_auto_guard_passes_balanced_clusters(spark):
+    # 300 rows in 20 clusters of 15 — far under the auto cap; the
+    # default path must run, not raise
+    rows = [(i, i % 20, [1.0, float(i)]) for i in range(300)]
+    got = _sem(spark, rows, threshold=1.1)
+    assert len(got) == 300 and all(r["keep"] for r in got.values())
+
+
 def test_semdedup_layout_independent(spark):
     from modern_search_engines_spark.operators.similarity import semdedup
     import math
