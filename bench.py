@@ -268,7 +268,11 @@ def main() -> None:
         # ratio's value — and symmetric enough for a knee footnote).
         t2 = run1(2, pages_path, "s2")
         t8 = run1(8, pages_path, "s8")
-        t16 = run1(16, pages_path, "s16")
+        # s16 builds on head_path (== pages_path at normal scale): the
+        # 4->16 ratio below reuses the headline hi floor, which is
+        # measured on head_path — at tiny n_pages (<400) the two corpora
+        # differ and mixing them would corrupt the ratio
+        t16 = run1(16, head_path, "s16")
         ceil416 = machine_ceiling(4, 16)
         queries["index_docs_per_sec_local2"] = round(n_pages / t2, 1)
         queries["index_docs_per_sec_local8"] = round(n_pages / t8, 1)
@@ -353,27 +357,44 @@ def main() -> None:
 
         head_pair("e")  # fifth spread sample
 
-        spark = get_spark("bench-contract", master="local[16]",
-                          shuffle_partitions=32)
-        # untimed warm-up: python workers + one cold read of each input
-        # table, so first-touch I/O/codegen doesn't land on whichever
-        # entry happens to scan a table first (semdedup read 7.3 s cold
-        # vs 0.75 s steady before this; entries stay single-shot)
-        _warm_session(spark, 16)
-        for t in ("documents", "embeddings", "events", "lineitem"):
-            p = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(p):
-                spark.read.parquet(p).count()
         # -- 3. driver-contract queries at the sf dir --------------------
-        for name in CONTRACT_BENCH:
-            fn = contract.QUERIES[name]
-            t0 = time.time()
-            fn(spark, sf_dir).collect()
-            queries[name] = round(time.time() - t0, 4)
-            # several contract queries .cache() their shared subtrees
-            # (tf, shingles); drop them between queries so one session
-            # running all ten doesn't accumulate dead cached partitions
-            spark.catalog.clearCache()
+        # min-of-2 with the two samples taken ~20 min apart in FRESH
+        # sessions (pass 2 runs after the query/latency section): the r4
+        # driver file read bm25_topk at 6.1 s vs 2.3 s in r3 with zero
+        # code change on that path — single shots inside one long
+        # accumulated session are weather, not measurement. Same cure as
+        # the headline's spread protocol, applied per entry.
+        def contract_pass() -> None:
+            spark = get_spark("bench-contract", master="local[16]",
+                              shuffle_partitions=32)
+            try:
+                # untimed warm-up: python workers + one cold read of
+                # each input table, so first-touch I/O/codegen doesn't
+                # land on whichever entry scans a table first (semdedup
+                # read 7.3 s cold vs 0.75 s steady before this)
+                _warm_session(spark, 16)
+                for t in ("documents", "embeddings", "events",
+                          "lineitem"):
+                    p = os.path.join(sf_dir, f"{t}.parquet")
+                    if os.path.exists(p):
+                        spark.read.parquet(p).count()
+                for name in CONTRACT_BENCH:
+                    fn = contract.QUERIES[name]
+                    t0 = time.time()
+                    fn(spark, sf_dir).collect()
+                    sec = round(time.time() - t0, 4)
+                    queries[name] = min(queries.get(name, sec), sec)
+                    # several contract queries .cache() their shared
+                    # subtrees (tf, shingles); drop them between
+                    # queries so one session running the whole list
+                    # doesn't accumulate dead cached partitions
+                    spark.catalog.clearCache()
+            finally:
+                spark.stop()
+
+        contract_pass()
+        spark = get_spark("bench-curation", master="local[16]",
+                          shuffle_partitions=32)
 
         # -- 3b. curation pipeline stage timings (jobs/clean_corpus
         # surface): the composed decontam -> line-dedup -> PII -> cap
@@ -400,6 +421,9 @@ def main() -> None:
         # final spread sample (~25+ min after the first), then the
         # headline metrics from the 6 spread-out floors
         head_pair("f")
+
+        contract_pass()  # second per-entry sample, fresh session,
+        # ~15-20 min after the first — queries[] keeps the min
 
         # corroboration-triggered extra sampling: the headline is a
         # FLOOR (min per level), so what matters is whether the minimum
@@ -431,15 +455,18 @@ def main() -> None:
         queries["headline_n_pairs"] = len(samples["lo"])
 
         t_lo, t_hi = min(samples["lo"]), min(samples["hi"])
-        # second t16 sample, spread ~25 min after the first
-        t16 = min(t16, run1(16, pages_path, "s16b"))
+        # second t16 sample, spread ~25 min after the first — on
+        # head_path, same corpus as the headline hi floor it is
+        # ratioed against
+        t16 = min(t16, run1(16, head_path, "s16b"))
         shutil.rmtree(os.path.join(work, "idxs16b"), ignore_errors=True)
-        queries["index_docs_per_sec_local16"] = round(n_pages / t16, 1)
+        queries["index_docs_per_sec_local16"] = round(n_head / t16, 1)
         # knee documentation, 4->16: local[4] side = the headline hi
-        # floor (same corpus, same job config; min-of-6 vs s16's
-        # min-of-2 — still slightly CONSERVATIVE for the ratio, since
-        # the floor t4 is the better-sampled of the two estimators)
-        queries["index_docs_per_sec_local4_1x"] = round(n_pages / t_hi, 1)
+        # floor (same head_path corpus, same job config; min-of-6 vs
+        # s16's min-of-2 — still slightly CONSERVATIVE for the ratio,
+        # since the floor t4 is the better-sampled of the two
+        # estimators)
+        queries["index_docs_per_sec_local4_1x"] = round(n_head / t_hi, 1)
         queries["scaling_efficiency_4_16"] = round((t_hi / t16) / 4.0, 3)
         queries["scaling_efficiency_4_16_vs_ceiling"] = round(
             min((t_hi / t16) / 4.0 / ceil416, 1.0), 3) \
