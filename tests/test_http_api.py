@@ -1,0 +1,135 @@
+"""HTTP binding (plans/http_api.py): drive the reference's exact
+request/response shapes (SearchEngineServer/api/views.py:34-88) over a
+real socket against a built index — request bodies, status codes, and
+error envelopes all match the Django handlers."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from modern_search_engines_spark import corpus
+from modern_search_engines_spark.plans.build import build_persistent_index
+from modern_search_engines_spark.plans.http_api import make_wsgi_app, serve
+from modern_search_engines_spark.plans.serve import SearchService
+
+N, SEED = 50, 13
+
+
+@pytest.fixture(scope="module")
+def base_url(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("http") / "idx")
+    pages = corpus.pages_df(spark, N, seed=SEED,
+                            num_partitions=2).drop("text", "lang")
+    build_persistent_index(spark, pages, out, verbose=False)
+    server = serve(SearchService(spark, out), port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+    server.server_close()
+
+
+def _post(url: str, payload, raw: bytes | None = None):
+    body = raw if raw is not None else json.dumps(payload).encode()
+    req = urllib.request.Request(url, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_search_bm25_response_shape(base_url):
+    status, docs = _post(f"{base_url}/search",
+                         {"query": "castle museum", "top_k": 5})
+    assert status == 200 and isinstance(docs, list) and 0 < len(docs) <= 5
+    # views.py deletes raw_text before responding; scores sorted desc
+    assert set(docs[0]) == {"url", "url_hash", "title", "description",
+                            "icon_url", "score"}
+    scores = [d["score"] for d in docs]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_tfidf_and_service_parity(base_url, spark):
+    status, docs = _post(f"{base_url}/search", {
+        "query": "castle museum", "top_k": 5,
+        "retrieval_method": "tfidf"})
+    assert status == 200 and docs
+    assert all(d["score"] >= d2["score"]
+               for d, d2 in zip(docs, docs[1:]))
+
+
+def test_search_diversity_key_triggers_rerank(base_url):
+    status, docs = _post(f"{base_url}/search", {
+        "query": "castle museum university", "top_k": 6,
+        "diversity": 0.9})
+    assert status == 200 and docs
+    assert all("topics" in d for d in docs)  # MMR path attaches labels
+
+
+def test_search_unsupported_method_is_400(base_url):
+    status, err = _post(f"{base_url}/search",
+                        {"query": "x", "retrieval_method": "bleu"})
+    assert (status, err) == (400, {"error":
+                                   "Retrieval method not supported"})
+
+
+def test_search_invalid_json_is_400(base_url):
+    status, err = _post(f"{base_url}/search", None, raw=b"{not json")
+    assert (status, err) == (400, {"error": "Invalid JSON"})
+
+
+def test_search_get_is_405(base_url):
+    req = urllib.request.Request(f"{base_url}/search", method="GET")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 405
+    assert json.loads(ei.value.read().decode()) == {
+        "error": "Invalid request method"}
+
+
+def test_summarize_roundtrip_and_404(base_url):
+    _, docs = _post(f"{base_url}/search",
+                    {"query": "castle museum", "top_k": 3})
+    status, out = _post(f"{base_url}/summarize",
+                        {"url_hash": docs[0]["url_hash"]})
+    assert status == 200 and isinstance(out["summary"], str)
+    for payload in ({}, {"url_hash": "deadbeef"}):
+        status, err = _post(f"{base_url}/summarize", payload)
+        assert (status, err) == (404, {"error": "Document not found"})
+
+
+def test_unknown_path_is_404(base_url):
+    status, err = _post(f"{base_url}/nope", {})
+    assert status == 404
+
+
+def test_wsgi_app_without_socket():
+    """The app is plain WSGI — usable under any server. Smoke it with a
+    stub service and a hand-built environ (no Spark, no socket)."""
+    import io
+
+    class Stub:
+        def search(self, query, top_k=20, retrieval_method="bm25",
+                   diversity=None):
+            return [{"url_hash": "h", "score": 1.0, "q": query,
+                     "k": top_k, "div": diversity}]
+
+        def summarize(self, url_hash):
+            return None
+
+    app = make_wsgi_app(Stub())
+    body = json.dumps({"query": "hi", "top_k": 3}).encode()
+    environ = {"PATH_INFO": "/search", "REQUEST_METHOD": "POST",
+               "CONTENT_LENGTH": str(len(body)),
+               "wsgi.input": io.BytesIO(body)}
+    captured = {}
+    out = b"".join(app(environ, lambda s, h: captured.update(status=s)))
+    assert captured["status"] == "200 OK"
+    got = json.loads(out.decode())
+    assert got == [{"url_hash": "h", "score": 1.0, "q": "hi", "k": 3,
+                    "div": None}]
