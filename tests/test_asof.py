@@ -88,3 +88,67 @@ def test_matches_pandas_merge_asof(spark):
     for _, row in exp.iterrows():
         want = None if pd.isna(row["value"]) else row["value"]
         assert got[row["event_id"]] == want, row["event_id"]
+
+
+def _megakey_instance():
+    """One pathological key holding 1500 of 1560 events plus two normal
+    keys — the hot-key case the bucketed two-phase plan exists for."""
+    rows_l = [(i, 1, _ts(0) + dt.timedelta(seconds=(i * 37) % 7200))
+              for i in range(1500)]
+    rows_l += [(10_000 + i, 2 + (i % 2),
+                _ts(0) + dt.timedelta(seconds=i * 11)) for i in range(60)]
+    rows_r = [(1, _ts(0) + dt.timedelta(seconds=(i * 53) % 7200),
+               float(i)) for i in range(400)]
+    rows_r += [(2 + (i % 2), _ts(0) + dt.timedelta(seconds=i * 29),
+                1000.0 + i) for i in range(30)]
+    return rows_l, rows_r
+
+
+def test_bucketed_matches_pandas_on_planted_megakey(spark):
+    """bucket_s two-phase variant vs pandas.merge_asof on a planted
+    mega-key (1500/1560 events on one key): identical matches,
+    including across bucket boundaries, with strict + tolerance too."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows_l, rows_r = _megakey_instance()
+    left = spark.createDataFrame(rows_l, ["event_id", "user_id", "ts"])
+    right = (spark.createDataFrame(rows_r, ["user_id", "ts", "value"])
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    pl = pd.DataFrame(rows_l, columns=["event_id", "user_id", "ts"])
+    pr = (pd.DataFrame(rows_r, columns=["user_id", "ts", "value"])
+          .groupby(["user_id", "ts"], as_index=False)["value"].max())
+
+    for strict, tol in ((False, None), (True, None), (False, 120.0)):
+        got = {r["event_id"]: r["value_r"] for r in asof_join(
+            left, right, right_cols=("value",), strict=strict,
+            tolerance_s=tol, bucket_s=600.0).collect()}
+        exp = pd.merge_asof(
+            pl.sort_values("ts"), pr.sort_values("ts"), on="ts",
+            by="user_id", direction="backward",
+            allow_exact_matches=not strict,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol))
+        assert len(got) == len(pl)
+        for _, row in exp.iterrows():
+            want = None if pd.isna(row["value"]) else row["value"]
+            assert got[row["event_id"]] == want, (
+                strict, tol, row["event_id"])
+
+
+def test_bucketed_identical_to_single_window(spark):
+    """The bucketed plan is the same OPERATOR: full-row equality with
+    the single-window path on the mega-key instance, at a bucket width
+    that forces many boundary carries and at one wider than the span
+    (degenerate single bucket)."""
+    rows_l, rows_r = _megakey_instance()
+    left = spark.createDataFrame(rows_l, ["event_id", "user_id", "ts"])
+    from pyspark.sql import functions as F
+    right = (spark.createDataFrame(rows_r, ["user_id", "ts", "value"])
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    base = sorted(map(tuple, asof_join(
+        left, right, right_cols=("value",)).collect()))
+    for bucket_s in (60.0, 1e9):
+        got = sorted(map(tuple, asof_join(
+            left, right, right_cols=("value",),
+            bucket_s=bucket_s).collect()))
+        assert got == base, bucket_s
