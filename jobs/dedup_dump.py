@@ -5,7 +5,15 @@
         --seen /data/corpus_parquet --new /data/dump_parquet \
         --index /data/seen_index --out /data/dump_status \
         [--jaccard-threshold 0.2] [--n-minhash 8] [--n-bands 4] \
-        [--max-band-docs N] [--id-col doc_id] [--text-col text]
+        [--max-band-docs N] [--id-col doc_id] [--text-col text] \
+        [--no-bloom] [--bloom-fpp 0.01]
+
+The exact-dup probe runs behind a broadcast Bloom prefilter BY DEFAULT
+(the production shape for 10^9-key seen sets: only true dups + ~fpp
+false positives shuffle to the md5 join, which verifies exactly — the
+output is identical either way). The filter is rebuilt per run from
+the resumed seen_md5 stage in one pass over the KEY table, never the
+corpus; probe-side row reduction is reported in the JSON summary.
 
 The seen corpus is reduced ONCE to three reusable index stages under
 --index (md5 → min id, minhash signatures, distinct shingles — atomic
@@ -48,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
                          "(degenerate-corpus guard)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--no-bloom", action="store_true",
+                    help="skip the broadcast Bloom prefilter on the "
+                         "exact-dup probe (on by default — the standard "
+                         "production shape for large seen sets; the "
+                         "keyed join verifies exactly either way)")
+    ap.add_argument("--bloom-fpp", type=float, default=0.01,
+                    help="Bloom false-positive rate (1%% = ~9.6 bits/"
+                         "key = ~1.2 GB per 10^9 seen keys)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -71,6 +87,24 @@ def main(argv: list[str] | None = None) -> int:
             sh = sw.write_stage(sh, "seen_shingles", params=params)
             sig = sw.write_stage(sig, "seen_sig",
                                  inputs=("seen_shingles",), params=params)
+        bloom_stats = None
+        bf = None
+        if not args.no_bloom:
+            # built from the RESUMED seen_md5 stage (one pass over the
+            # key table, never the corpus); output is identical with or
+            # without it — the md5 join verifies exactly
+            bf = crossdedup.seen_bloom_filter(md5, fpp=args.bloom_fpp)
+            from modern_search_engines_spark.operators import bloom
+            probe_in = new.count()
+            probe_out = (new.select(
+                F.md5(F.col(args.text_col).cast("binary"))
+                .alias("text_md5"))
+                .where(bloom.might_contain(bf, F.col("text_md5")))
+                .count())
+            bloom_stats = {"n_keys": bf.n_keys, "m_bits": bf.m_bits,
+                           "fpp_target": bf.fpp_target,
+                           "probe_rows_in": probe_in,
+                           "probe_rows_out": probe_out}
         status = crossdedup.dedup_against(
             new, text_col=args.text_col, id_col=args.id_col,
             n_minhash=args.n_minhash, n_bands=args.n_bands,
@@ -78,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
             seen_md5=md5,
             seen_sig=sig if need_near else None,
             seen_sh=sh if need_near else None,
-            max_band_docs=args.max_band_docs)
+            max_band_docs=args.max_band_docs,
+            seen_bloom=bf)
         out_sw = StageWriter(spark, args.out, verbose=True)
         status = out_sw.write_stage(status, "dump_status",
                                     params=dict(params,
@@ -88,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
                    status.groupBy("status")
                    .agg(F.count(F.lit(1)).alias("n")).collect()}
         print(json.dumps({"summary": summary,
+                          "bloom": bloom_stats,
                           "index_stages": sw.metrics(),
                           "out_stages": out_sw.metrics()}))
     finally:

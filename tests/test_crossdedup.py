@@ -122,8 +122,37 @@ def test_dedup_dump_job_cli(spark, tmp_path):
     assert r1["summary"] == {"exact_dup": 1, "near_dup": 1, "new": 1}
     assert {m["name"] for m in r1["index_stages"]} == {
         "seen_md5", "seen_shingles", "seen_sig"}
+    # Bloom prefilter is ON by default: no false negatives (the exact
+    # dup must reach the join) and the probe side actually shrinks
+    b = r1["bloom"]
+    assert b["probe_rows_in"] == 3
+    assert 1 <= b["probe_rows_out"] < b["probe_rows_in"]
     r2 = run(str(tmp_path / "out2"))
     assert r2["summary"] == r1["summary"]
     c1 = {m["name"]: m["commit_id"] for m in r1["index_stages"]}
     c2 = {m["name"]: m["commit_id"] for m in r2["index_stages"]}
     assert c1 == c2          # resumed, not rebuilt
+
+
+def test_dedup_dump_job_no_bloom_identical(spark, tmp_path):
+    """--no-bloom must change cost only, never the classification."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    seen_p, new_p = str(tmp_path / "seen"), str(tmp_path / "new")
+    _seen(spark).write.parquet(seen_p)
+    _new(spark).write.parquet(new_p)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4", "PYTHONPATH": repo}
+    proc = subprocess.run(
+        [sys.executable, "jobs/dedup_dump.py", "--seen", seen_p,
+         "--new", new_p, "--index", str(tmp_path / "idx"),
+         "--out", str(tmp_path / "out"), "--no-bloom"],
+        capture_output=True, text=True, timeout=300, cwd=repo, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads([l for l in proc.stdout.splitlines()
+                      if l.startswith("{")][-1])
+    assert out["bloom"] is None
+    assert out["summary"] == {"exact_dup": 1, "new": 2}  # exact-only run
