@@ -187,3 +187,66 @@ class HotSearcher:
         top = order[:top_k]
         id_map = self._doc_ids_of([int(uniq[i]) for i in top])
         return [(id_map[int(uniq[i])], float(sums[i])) for i in top]
+
+
+class HotSearchService:
+    """``SearchService``-shaped adapter over ``HotSearcher`` so
+    ``plans.http_api.make_wsgi_app`` can serve ``POST /search`` /
+    ``POST /summarize`` at interactive latency — no Spark job (or
+    session) per request; Spark only builds/maintains the index.
+
+    Retrieval is the hot tier's bm25 union-sum (rank-identical to the
+    distributed WAND path); ``retrieval_method="tfidf"`` raises
+    ValueError → the endpoint's 400, since tf-idf partials are not part
+    of the compressed hot artifact. Display fields resolve with a
+    stats-pruned pyarrow-dataset read of the docs stage (bounded at any
+    corpus size, like ``_doc_ids_of``); ``diversity`` is accepted for
+    endpoint-shape compatibility and raises loudly (MMR reranking needs
+    the LDA topic table — serve that combination from the Spark-backed
+    ``SearchService``)."""
+
+    DISPLAY_COLS = ("url", "title", "description", "icon_url")
+
+    def __init__(self, index_dir: str, n_buckets: int = 64):
+        self.index_dir = index_dir
+        self.searcher = HotSearcher(index_dir, n_buckets=n_buckets)
+
+    def _display_rows(self, doc_ids: list[str]) -> dict[str, dict]:
+        import pyarrow.dataset as ds
+        dset = ds.dataset(os.path.join(self.index_dir, "docs"),
+                          format="parquet")
+        tbl = dset.to_table(columns=["doc_id", *self.DISPLAY_COLS],
+                            filter=ds.field("doc_id").isin(doc_ids))
+        return {r["doc_id"]: r for r in tbl.to_pylist()}
+
+    def search(self, query: str, top_k: int = 20,
+               retrieval_method: str = "bm25",
+               diversity: float | None = None) -> list[dict]:
+        if retrieval_method.lower() != "bm25":
+            raise ValueError(
+                f"Retrieval method not supported: {retrieval_method} "
+                "(hot tier serves bm25; use SearchService for tfidf)")
+        if diversity is not None:
+            raise ValueError(
+                "diversity reranking needs the Spark-backed "
+                "SearchService (LDA topic table)")
+        ranked = self.searcher.search(query, top_k=top_k)
+        rows = self._display_rows([d for d, _ in ranked])
+        return [{
+            "url": rows[d]["url"], "url_hash": d,
+            "title": rows[d]["title"],
+            "description": rows[d]["description"],
+            "icon_url": rows[d]["icon_url"], "score": score,
+        } for d, score in ranked if d in rows]
+
+    def summarize(self, url_hash: str) -> str | None:
+        import pyarrow.dataset as ds
+
+        from ..operators import mlhooks
+        dset = ds.dataset(os.path.join(self.index_dir, "extracted"),
+                          format="parquet")
+        tbl = dset.to_table(columns=["text"],
+                            filter=ds.field("doc_id") == url_hash)
+        if tbl.num_rows == 0:
+            return None
+        return mlhooks._summarizer(tbl.column("text")[0].as_py() or "")

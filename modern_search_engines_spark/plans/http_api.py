@@ -23,8 +23,10 @@ The Spark session lives in the long-running server process exactly as
 the reference keeps its unpickled index in the Django worker: queries
 are driver-coordinated jobs, only top-k rows are collected. For
 interactive-latency serving without a Spark job per request, point the
-same app at ``plans.hot.HotSearcher`` wrapped in a ``SearchService``-
-shaped adapter — the app only needs ``search()`` and ``summarize()``.
+same app at ``plans.hot.HotSearchService`` — the app only needs
+``search()`` and ``summarize()``. A service raising ValueError (bad
+request parameters, e.g. the hot tier refusing tfidf) maps to 400;
+other exceptions map to 500 like Django's unhandled-exception path.
 """
 
 from __future__ import annotations
@@ -98,6 +100,11 @@ def make_wsgi_app(service) -> Callable[[dict, Callable], Iterable[bytes]]:
                                   {"error": "Invalid JSON"})
         try:
             status, payload = handler(data)
+        except ValueError as exc:
+            # a service rejecting the request's parameters (e.g. the hot
+            # tier refusing tfidf/diversity) is the caller's error
+            return _json_response(start_response, 400,
+                                  {"error": str(exc)})
         except Exception as exc:  # parity: Django turns these into 500s
             return _json_response(start_response, 500,
                                   {"error": str(exc)})

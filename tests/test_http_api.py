@@ -19,12 +19,17 @@ N, SEED = 50, 13
 
 
 @pytest.fixture(scope="module")
-def base_url(spark, tmp_path_factory):
+def idx_dir(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("http") / "idx")
     pages = corpus.pages_df(spark, N, seed=SEED,
                             num_partitions=2).drop("text", "lang")
     build_persistent_index(spark, pages, out, verbose=False)
-    server = serve(SearchService(spark, out), port=0)  # ephemeral port
+    return out
+
+
+@pytest.fixture(scope="module")
+def base_url(spark, idx_dir):
+    server = serve(SearchService(spark, idx_dir), port=0)  # ephemeral
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     host, port = server.server_address
@@ -133,3 +138,46 @@ def test_wsgi_app_without_socket():
     got = json.loads(out.decode())
     assert got == [{"url_hash": "h", "score": 1.0, "q": "hi", "k": 3,
                     "div": None}]
+
+
+def _wsgi_post(app, path, payload):
+    import io
+    body = json.dumps(payload).encode()
+    environ = {"PATH_INFO": path, "REQUEST_METHOD": "POST",
+               "CONTENT_LENGTH": str(len(body)),
+               "wsgi.input": io.BytesIO(body)}
+    captured = {}
+    out = b"".join(app(environ, lambda s, h: captured.update(status=s)))
+    return int(captured["status"][:3]), json.loads(out.decode())
+
+
+def test_hot_adapter_serves_same_ranking_without_spark(base_url, idx_dir):
+    """HotSearchService behind the SAME WSGI app: /search answers are
+    url_hash/score-identical to the Spark-backed endpoint (the hot tier
+    is rank-identical to WAND by construction), /summarize round-trips,
+    and tfidf/diversity are clean 400s, not 500s."""
+    from modern_search_engines_spark.plans.hot import HotSearchService
+    app = make_wsgi_app(HotSearchService(idx_dir))
+
+    status, hot_docs = _wsgi_post(app, "/search", {
+        "query": "castle museum", "top_k": 5})
+    assert status == 200 and hot_docs
+    assert set(hot_docs[0]) == {"url", "url_hash", "title",
+                                "description", "icon_url", "score"}
+    _, spark_docs = _post(f"{base_url}/search",
+                          {"query": "castle museum", "top_k": 5})
+    assert [d["url_hash"] for d in hot_docs] == \
+        [d["url_hash"] for d in spark_docs]
+    for h, s in zip(hot_docs, spark_docs):
+        assert h["score"] == pytest.approx(s["score"], rel=1e-9)
+        assert h["url"] == s["url"] and h["title"] == s["title"]
+
+    status, out = _wsgi_post(app, "/summarize",
+                             {"url_hash": hot_docs[0]["url_hash"]})
+    assert status == 200 and isinstance(out["summary"], str)
+    assert _wsgi_post(app, "/summarize", {"url_hash": "nope"})[0] == 404
+
+    for payload in ({"query": "x", "retrieval_method": "tfidf"},
+                    {"query": "x", "diversity": 0.5}):
+        status, err = _wsgi_post(app, "/search", payload)
+        assert status == 400 and "error" in err, payload
