@@ -91,7 +91,12 @@ def main() -> None:
                 f"probe-{cores}", master=f"local[{cores}]",
                 shuffle_partitions=16,
                 extra_conf={"spark.eventLog.enabled": "true",
-                            "spark.eventLog.dir": f"file://{log_dir}"})
+                            "spark.eventLog.dir": f"file://{log_dir}",
+                            # single uncompressed file so the parser
+                            # below can read it (Spark 4 defaults to
+                            # zstd rolling v2 directories)
+                            "spark.eventLog.compress": "false",
+                            "spark.eventLog.rolling.enabled": "false"})
             try:
                 t0 = time.time()
                 build_persistent_index(
