@@ -65,6 +65,7 @@ CONTRACT_BENCH = (
     "curation_report", "events_asof", "events_range_join", "link_hits",
     "decontam_fuzzy", "quality_classifier", "bpe_pair_counts",
     "dup_line_stats",
+    "phrase_match_topk", "bm25_conj_topk", "proximity_docs",
 )
 
 

@@ -1167,6 +1167,66 @@ def q_ccnet_buckets(spark, sf):
         "doc_id", "lang", "nll", "bucket")
 
 
+PHRASE = ("table", "hash")          # frequent bigram in the synthetic corpus
+PROX_TERMS = ("data", "query")      # proximity pair
+PROX_WINDOW = 3                     # within 3 tokens (inclusive span)
+
+
+def q_phrase_match_topk(spark, sf):
+    """Phrase query over positional postings: top-50 docs by occurrence
+    count of the exact consecutive-token phrase (operators/phrase.py —
+    anchor-grouped, one shuffle; a capability the reference's
+    position-free index cannot answer, DocumentIndex.py:32,131)."""
+    from .operators import phrase
+    docs = _docs(spark, sf)
+    ptok = phrase.positional_postings(docs, _tokens_col())
+    hits = phrase.phrase_occurrences(ptok, list(PHRASE))
+    return ranked_topk(hits, [F.desc("ptf"), F.asc("doc_id")], 50,
+                       key_col="doc_id").select("doc_id", "ptf", "rank")
+
+
+def q_bm25_conj_topk(spark, sf):
+    """Conjunctive (AND-semantics) BM25 top-50: identical scoring to
+    bm25_topk, restricted to docs containing ALL query terms — the other
+    classic retrieval mode next to the reference's OR-union
+    (BM25Ranker.py:49-61). The all-terms gate is a HAVING on the same
+    groupBy that accumulates the score: zero extra shuffles."""
+    docs = _docs(spark, sf)
+    n = docs.count()
+    tf = _tf(spark, sf).cache()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    idf = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .withColumn("idf", F.log(F.lit(float(n)) / F.col("df"))))
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "term string")
+    tf_ = F.col("tf").cast("double")
+    sat = (tf_ * (K1 + 1)) / (
+        tf_ + K1 * (1 - B + B * F.col("dl").cast("double")
+                    / F.lit(float(avgdl))))
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id").join(idf.select("term", "idf"), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * sat), 6).alias("score"),
+             F.countDistinct("term").alias("n_terms"))
+        .where(F.col("n_terms") == len(BM25_QUERY_TERMS))
+        .select("doc_id", "score")
+    )
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], 50,
+                       key_col="doc_id").select("doc_id", "score", "rank")
+
+
+def q_proximity_docs(spark, sf):
+    """Proximity query: docs where the query terms co-occur within a
+    3-token window (operators/phrase.py running-last-seen scan)."""
+    from .operators import phrase
+    docs = _docs(spark, sf)
+    ptok = phrase.positional_postings(docs, _tokens_col())
+    return phrase.proximity_match(
+        ptok, list(PROX_TERMS), PROX_WINDOW).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL twins
 # ---------------------------------------------------------------------------
@@ -2893,6 +2953,76 @@ FROM scored s LEFT JOIN thr t USING (lang)
 """
 
 
+# positional tokens (1-based, matching posexplode+1 on the Spark side)
+_PTOK_SQL = """
+ptok AS (
+    SELECT doc_id, t.i AS i, toks[t.i] AS term
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents) d,
+         unnest(range(1, len(toks) + 1)) AS t(i)
+)"""
+
+_ORACLE["phrase_match_topk"] = f"""
+WITH {_PTOK_SQL},
+hits AS (
+    SELECT t0.doc_id, count(*) AS ptf
+    FROM ptok t0 JOIN ptok t1
+      ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+    WHERE t0.term = '{PHRASE[0]}' AND t1.term = '{PHRASE[1]}'
+    GROUP BY t0.doc_id
+),
+ranked AS (SELECT doc_id, ptf,
+                  row_number() OVER (ORDER BY ptf DESC, doc_id ASC) AS rank
+           FROM hits)
+SELECT doc_id, ptf, rank FROM ranked WHERE rank <= 50
+"""
+
+_ORACLE["bm25_conj_topk"] = f"""
+WITH {_TOK_SQL},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+idf AS (SELECT term, ln(stats.n / count(*)) AS idf
+        FROM tf, stats GROUP BY term, stats.n),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)}),
+scored AS (
+    SELECT tf.doc_id,
+           round(sum(idf.idf * (tf.tf * ({K1} + 1)) /
+                     (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))), 6)
+           AS score
+    FROM tf JOIN q USING (term)
+            JOIN dl USING (doc_id)
+            JOIN idf USING (term), stats
+    GROUP BY tf.doc_id
+    HAVING count(DISTINCT tf.term) = {len(BM25_QUERY_TERMS)}
+),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 50
+"""
+
+_ORACLE["proximity_docs"] = f"""
+WITH {_PTOK_SQL},
+run AS (
+    SELECT doc_id, i,
+           max(CASE WHEN term = '{PROX_TERMS[0]}' THEN i END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS l0,
+           max(CASE WHEN term = '{PROX_TERMS[1]}' THEN i END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS l1
+    FROM ptok
+    WHERE term IN ('{PROX_TERMS[0]}', '{PROX_TERMS[1]}')
+)
+SELECT DISTINCT doc_id FROM run
+WHERE l0 IS NOT NULL AND l1 IS NOT NULL
+  AND i - least(l0, l1) <= {PROX_WINDOW - 1}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Public contract
 # ---------------------------------------------------------------------------
@@ -2904,7 +3034,7 @@ FROM scored s LEFT JOIN thr t USING (lang)
 # entry with no driver-green row yet, then the rest, with the tail
 # reserved for entries already driver-green in a prior round's
 # CORRECTNESS_r{N}.json — so the UNION of per-round driver rows covers
-# every entry even when one round's budget can't. All 66 pass the
+# every entry even when one round's budget can't. All 69 pass the
 # identical local replica of the gate (tests/test_contract_oracle.py)
 # every round regardless of order.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2931,6 +3061,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "bpe_pair_counts": q_bpe_pair_counts,
     "dup_line_stats": q_dup_line_stats,
+    # round-5 additions (positional-postings family) — no driver row yet
+    "phrase_match_topk": q_phrase_match_topk,
+    "bm25_conj_topk": q_bm25_conj_topk,
+    "proximity_docs": q_proximity_docs,
     # core families (driver-green in r4)
     "tfidf_topk": q_tfidf_topk,
     "lang_counts": q_lang_counts,
