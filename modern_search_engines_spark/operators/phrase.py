@@ -118,6 +118,57 @@ def proximity_match(ptok: DataFrame, terms: list[str], window: int,
             .select(id_col).distinct())
 
 
+def bucketed_positional_postings(extracted: DataFrame,
+                                 n_buckets: int = 64) -> DataFrame:
+    """(doc_id, pos, term, bucket) over the body unigram stream
+    (``doc_unigrams`` — same cleaned tokens the tf stage counts), with
+    the SAME term-hash bucket key as the scoring postings
+    (operators/postings.py): ``bucket`` becomes the stage's partition
+    column, so a phrase query's scan is dir-pruned to its terms'
+    buckets exactly like BM25 retrieval is."""
+    ptok = positional_postings(extracted, F.col("doc_unigrams"))
+    return ptok.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+
+
+def prune_positional(ptok: DataFrame, terms: list[str],
+                     n_buckets: int = 64) -> DataFrame:
+    """Partition-prune a bucketed positional table to the query terms'
+    buckets (driver-side xxhash64 twin, canary-checked; Spark-job
+    fallback) — same contract as query.prune_postings."""
+    from ..functions import hashing
+
+    if hashing.self_check():
+        buckets = sorted({hashing.bucket_of(t, n_buckets)
+                          for t in set(terms)})
+    else:
+        spark = ptok.sparkSession
+        tdf = spark.createDataFrame([(t,) for t in set(terms)],
+                                    "term string")
+        buckets = sorted({
+            r["b"] for r in
+            tdf.select(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                       .alias("b")).distinct().collect()})
+    if not buckets:
+        return ptok.where(F.lit(False))
+    return ptok.where(F.col("bucket").isin(buckets))
+
+
+def phrase_topk(ptok: DataFrame, phrase: list[str], k: int = 50,
+                n_buckets: int | None = None,
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, ptf, rank) — top-k docs by phrase occurrence count over a
+    positional table; when ``n_buckets`` is given the table is treated
+    as bucket-partitioned and the scan is pruned first."""
+    from .topk import ranked_topk
+
+    if n_buckets is not None:
+        ptok = prune_positional(ptok, phrase, n_buckets)
+    hits = phrase_occurrences(ptok, phrase, id_col=id_col)
+    return ranked_topk(hits, [F.desc("ptf"), F.asc(id_col)], k,
+                       key_col=id_col).select(id_col, "ptf", "rank")
+
+
 def conjunctive_match(tf: DataFrame, terms: list[str],
                       id_col: str = "doc_id") -> DataFrame:
     """(id,) docs containing ALL distinct ``terms`` (AND semantics).

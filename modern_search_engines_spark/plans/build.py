@@ -34,6 +34,7 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
                            n_shards: int = 1, n_extract_chunks: int = 1,
                            use_doc2query: bool = False,
                            materialize_bm25: bool = True,
+                           positional: bool = False,
                            verbose: bool = True) -> dict:
     """Run (or resume) the full staged build; returns handles + stats.
 
@@ -107,8 +108,29 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
     # scale the fixed per-job seconds are the dominant anti-scaling term
     # (Amdahl), and on a real cluster concurrent jobs keep executors
     # busy across stage tails.
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_stats = pool.submit(_stats)
+        f_pos = None
+        if positional:
+            # opt-in positional layer (phrase / proximity queries —
+            # operators/phrase.py): body-unigram positions, bucketed by
+            # the SAME term-hash key as the scoring postings so phrase
+            # scans dir-prune to their terms' buckets. Depends only on
+            # `extracted`, so it shares the phase-A pool. Positions are
+            # over the PRE-expansion stream — doc2query pseudo-tokens
+            # have no real positions.
+            from ..operators import phrase as phrase_ops
+            f_pos = pool.submit(
+                sw.write_stage,
+                phrase_ops.bucketed_positional_postings(
+                    indexed_raw, n_buckets),
+                "positional_postings", inputs=("extracted",),
+                partition_by=["bucket"], sort_within=["term", "doc_id"],
+                params={"n_buckets": n_buckets})
+        else:
+            # a stale positional table from a prior positional build
+            # must not survive a non-positional rebuild via load_index
+            sw.drop_stage("positional_postings")
         # docs sorted by doc_id within partitions (no shuffle): parquet
         # min/max stats then give tight per-row-group id ranges, which
         # the hot serving tier's bounded doc-id lookup prunes on
@@ -126,6 +148,7 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         stats = f_stats.result()
         docs = f_docs.result()
         tf = f_tf.result()
+        positional_tbl = f_pos.result() if f_pos is not None else None
 
     # term_stats is a deterministic derivation of tf, so the bm25 stage
     # consumes its own inline term-stats plan (identical result) and the
@@ -201,6 +224,7 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         "bm25_postings": bm25,
         "postings_compressed": compressed,
         "doc_dim": doc_dim,
+        "positional_postings": positional_tbl,
         "writer": sw,
     }
 
@@ -245,4 +269,8 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
         "bm25_postings": bm25,
         "postings_compressed": rd("postings_compressed"),
         "doc_dim": doc_dim,
+        "positional_postings": (
+            rd("positional_postings")
+            if os.path.exists(os.path.join(out_dir, "positional_postings"))
+            else None),
     }
