@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                          "table (one row per term-doc — doubles the "
                          "biggest stage's I/O; the query path only needs "
                          "postings_compressed)")
+    ap.add_argument("--positional", action="store_true",
+                    help="also commit the positional_postings stage "
+                         "(bucket-partitioned body-token positions) for "
+                         "phrase/proximity queries (operators/phrase.py)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --pages")
     args = ap.parse_args(argv)
@@ -72,7 +76,8 @@ def main(argv: list[str] | None = None) -> int:
             n_shards=args.n_shards,
             n_extract_chunks=args.n_extract_chunks,
             use_doc2query=args.use_doc2query,
-            materialize_bm25=args.materialize_bm25, verbose=True)
+            materialize_bm25=args.materialize_bm25,
+            positional=args.positional, verbose=True)
         # total build wall (excludes session/JVM startup): the number a
         # spark-submit N-vs-4N scaling comparison reads directly
         print(json.dumps({"stats": idx["stats"],

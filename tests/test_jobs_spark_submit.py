@@ -35,10 +35,14 @@ def test_spark_submit_build_and_query(tmp_path):
 
     r = subprocess.run(
         base + [os.path.join(repo, "jobs", "build_index.py"),
-                "--synthetic", "40", "--out", idx],
+                "--synthetic", "40", "--out", idx, "--positional"],
         capture_output=True, text=True, timeout=420, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(os.path.join(idx, "postings_compressed"))
+    # --positional commits the phrase-query layer as its own stage
+    pos = os.path.join(idx, "positional_postings")
+    assert os.path.exists(pos)
+    assert any(d.startswith("bucket=") for d in os.listdir(pos))
 
     qf = str(tmp_path / "queries.tsv")
     with open(qf, "w") as f:
