@@ -19,6 +19,11 @@ body → 400 ``{"error": "Invalid JSON"}``; any other verb → 405
 empty or unknown url_hash → 404 ``{"error": "Document not found"}``
 (views.py:66-88); bad JSON → 400; other verbs → 405.
 
+``POST /phrase``  body ``{"phrase", "top_k"=20}`` → same result-dict
+array, scored by phrase occurrence count — an EXTENSION endpoint (no
+reference counterpart; its index is position-free). 400 when the
+service doesn't support it or the index lacks the positional layer.
+
 The Spark session lives in the long-running server process exactly as
 the reference keeps its unpickled index in the Django worker: queries
 are driver-coordinated jobs, only top-k rows are collected. For
@@ -82,7 +87,19 @@ def make_wsgi_app(service) -> Callable[[dict, Callable], Iterable[bytes]]:
             return 404, {"error": "Document not found"}
         return 200, {"summary": summary}
 
-    routes = {"/search": handle_search, "/summarize": handle_summarize}
+    def handle_phrase(data: dict) -> tuple[int, object]:
+        # EXTENSION endpoint (not in the reference API): exact-phrase
+        # retrieval over the positional layer; 400 when the index was
+        # built without it (service raises ValueError)
+        fn = getattr(service, "phrase_search", None)
+        if fn is None:  # e.g. the hot tier — positional scans need Spark
+            return 400, {"error": "Phrase search not supported"}
+        phrase = data.get("phrase", "")
+        top_k = int(data.get("top_k", 20))
+        return 200, fn(phrase, top_k=top_k)
+
+    routes = {"/search": handle_search, "/summarize": handle_summarize,
+              "/phrase": handle_phrase}
 
     def app(environ, start_response):
         path = environ.get("PATH_INFO", "")

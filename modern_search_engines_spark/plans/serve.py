@@ -104,6 +104,30 @@ class SearchService:
         top = qmod.topk(scored, top_k)
         return self._results(top.select("doc_id", "score"))
 
+    def phrase_search(self, phrase: str, top_k: int = 20) -> list[dict]:
+        """Exact-phrase retrieval over the positional layer — an engine
+        EXTENSION (the reference's position-free index,
+        DocumentIndex.py:32,131, cannot answer phrase queries). Requires
+        an index built with ``positional=True``; ranks by phrase
+        occurrence count, ties by doc_id. The scan is partition-pruned
+        to the phrase terms' buckets (operators/phrase.py)."""
+        ptok = self.idx.get("positional_postings")
+        if ptok is None:
+            raise ValueError(
+                "phrase search needs an index built with positional=True "
+                "(build_persistent_index(..., positional=True) or "
+                "jobs/build_index.py --positional)")
+        from .. import textlib
+        from ..operators import phrase as phrase_ops
+        toks = textlib.tokenize(phrase, 1)
+        if not toks:
+            return []
+        ranked = phrase_ops.phrase_topk(ptok, toks, k=top_k,
+                                        n_buckets=self.n_buckets)
+        return self._results(
+            ranked.select("doc_id",
+                          F.col("ptf").cast("double").alias("score")))
+
     def search(self, query: str, top_k: int = 20,
                retrieval_method: str = "bm25",
                diversity: float | None = None,

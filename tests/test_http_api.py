@@ -23,7 +23,8 @@ def idx_dir(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("http") / "idx")
     pages = corpus.pages_df(spark, N, seed=SEED,
                             num_partitions=2).drop("text", "lang")
-    build_persistent_index(spark, pages, out, verbose=False)
+    build_persistent_index(spark, pages, out, verbose=False,
+                           positional=True)
     return out
 
 
@@ -181,3 +182,62 @@ def test_hot_adapter_serves_same_ranking_without_spark(base_url, idx_dir):
                     {"query": "x", "diversity": 0.5}):
         status, err = _wsgi_post(app, "/search", payload)
         assert status == 400 and "error" in err, payload
+
+
+def test_phrase_endpoint(base_url, spark, idx_dir):
+    """POST /phrase (extension): phrase occurrence ranking over the
+    positional layer, parity with SearchService.phrase_search, 400 when
+    the layer is absent or the service can't do phrases."""
+    from pyspark.sql import functions as F
+    from modern_search_engines_spark import textlib
+
+    # derive a phrase that (a) actually occurs adjacently in the built
+    # positional table and (b) re-tokenizes to itself (lemma-idempotent),
+    # so the HTTP round-trip through textlib.tokenize is exact
+    ptok = spark.read.parquet(f"{idx_dir}/positional_postings")
+    pairs = (ptok.alias("a").join(
+        ptok.alias("b"),
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1))
+        .groupBy(F.col("a.term").alias("t0"), F.col("b.term").alias("t1"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n")).limit(20).collect())
+    phrase = None
+    for r in pairs:
+        cand = f"{r['t0']} {r['t1']}"
+        if textlib.tokenize(cand, 1) == [r["t0"], r["t1"]]:
+            phrase = cand
+            break
+    assert phrase is not None, [tuple(r)[:2] for r in pairs]
+
+    status, docs = _post(f"{base_url}/phrase",
+                         {"phrase": phrase, "top_k": 5})
+    assert status == 200 and isinstance(docs, list) and docs
+    assert set(docs[0]) == {"url", "url_hash", "title", "description",
+                            "icon_url", "score"}
+    scores = [d["score"] for d in docs]
+    assert scores == sorted(scores, reverse=True) and scores[0] >= 1
+
+    svc = SearchService(spark, idx_dir)
+    lib_docs = svc.phrase_search(phrase, top_k=5)
+    assert [d["url_hash"] for d in docs] == \
+        [d["url_hash"] for d in lib_docs]
+
+    # empty phrase -> empty list, still 200
+    status, docs = _post(f"{base_url}/phrase", {"phrase": ""})
+    assert status == 200 and docs == []
+
+    # index without the positional layer -> clean 400 (ValueError path)
+    svc2 = SearchService(spark, idx_dir)
+    svc2.idx = dict(svc2.idx)
+    svc2.idx["positional_postings"] = None
+    app = make_wsgi_app(svc2)
+    status, err = _wsgi_post(app, "/phrase", {"phrase": phrase})
+    assert status == 400 and "error" in err
+
+    # service without a phrase_search method (hot tier) -> clean 400
+    class NoPhrase:
+        pass
+    status, err = _wsgi_post(make_wsgi_app(NoPhrase()), "/phrase",
+                             {"phrase": phrase})
+    assert status == 400 and "not supported" in err["error"].lower()
