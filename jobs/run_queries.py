@@ -2,12 +2,15 @@
 
     spark-submit --py-files mse.zip jobs/run_queries.py \
         --index /data/index --queries queries.tsv --out run_dir \
-        [--k 100] [--method wand|bm25|tfidf]
+        [--k 100] [--method wand|bm25|tfidf|phrase]
 
 Replicates the reference's batch runner (batch_retrieve.py:11-38): TSV
 queries ``qid\\tquery`` in, one distributed scoring pass for ALL queries,
 TSV run file ``qid\\trank\\turl\\tscore`` out. ``--method wand`` uses the
 block-max WAND path over compressed postings (rank-identical to bm25).
+``--method phrase`` treats each query as one exact phrase and scores by
+occurrence count over the positional layer (requires an index built
+with ``--positional``) — one bucket-pruned pass for all phrases.
 
 ``--rerank-diversity D`` applies the reference's MMR diversification
 before writing (batch_retrieve.py:33 calls rank_documents with
@@ -45,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", required=True, help="run-file output dir")
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--method", default="wand",
-                    choices=("wand", "bm25", "tfidf"))
+                    choices=("wand", "bm25", "tfidf", "phrase"))
     ap.add_argument("--rerank-diversity", type=float, default=None,
                     help="MMR diversity in [0,1]; reference batch run "
                          "uses 0.1 (relevance_importance=0.9)")
@@ -65,6 +68,26 @@ def main(argv: list[str] | None = None) -> int:
             results = wand.run_wand(spark, queries,
                                     idx["postings_compressed"],
                                     idx["doc_dim"], k=args.k)
+        elif args.method == "phrase":
+            # each query line is one exact phrase; score = occurrence
+            # count over the positional layer, one pass for all queries
+            if idx.get("positional_postings") is None:
+                raise SystemExit("--method phrase needs an index built "
+                                 "with --positional")
+            from pyspark.sql import functions as F
+            from modern_search_engines_spark import textlib
+            from modern_search_engines_spark.operators import (
+                phrase as phrase_ops,
+            )
+            phrases = [(qid, textlib.tokenize(q, 1)) for qid, q in queries]
+            phrases = [(qid, toks) for qid, toks in phrases if toks]
+            hits = phrase_ops.phrase_occurrences_batch(
+                idx["positional_postings"], phrases,
+                n_buckets=idx["stats"].get("n_buckets"))
+            results = qmod.topk(
+                hits.select("qid", "doc_id",
+                            F.col("ptf").cast("double").alias("score")),
+                args.k)
         else:
             if args.method == "tfidf":
                 idx["tfidf"] = indexing.build_tfidf(idx["tf"],

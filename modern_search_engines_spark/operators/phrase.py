@@ -80,6 +80,41 @@ def phrase_occurrences(ptok: DataFrame, phrase: list[str],
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("ptf"))
 
 
+def phrase_occurrences_batch(ptok: DataFrame,
+                             phrases: list[tuple[str, list[str]]],
+                             id_col: str = "doc_id",
+                             n_buckets: int | None = None) -> DataFrame:
+    """(qid, id, ptf) for MANY phrases in one distributed pass — the
+    batch-retrieval discipline (operators/query.py run_batch): every
+    phrase's (term, offset) tags go into one broadcast table, one
+    groupBy counts distinct offsets per (qid, id, anchor) against the
+    phrase's own length, one more aggregates occurrence counts. With
+    ``n_buckets`` the scan is pruned to the union of the phrase terms'
+    buckets."""
+    spark = ptok.sparkSession
+    terms = sorted({t for _, toks in phrases for t in toks})
+    if not terms:
+        raise ValueError("no non-empty phrases")
+    if n_buckets is not None:
+        ptok = prune_positional(ptok, terms, n_buckets)
+    offs = spark.createDataFrame(
+        [(qid, t, i, len(toks))
+         for qid, toks in phrases for i, t in enumerate(toks)],
+        "qid string, term string, off int, plen int")
+    tagged = (
+        ptok.where(F.col("term").isin(terms))
+        .join(F.broadcast(offs), "term")
+        .select("qid", id_col,
+                (F.col("pos") - F.col("off")).alias("anchor"),
+                "off", "plen")
+    )
+    hits = (tagged.groupBy("qid", id_col, "anchor", "plen")
+            .agg(F.countDistinct("off").alias("n_off"))
+            .where(F.col("n_off") == F.col("plen")))
+    return hits.groupBy("qid", id_col).agg(
+        F.count(F.lit(1)).alias("ptf"))
+
+
 def proximity_match(ptok: DataFrame, terms: list[str], window: int,
                     id_col: str = "doc_id") -> DataFrame:
     """(id,) docs where all distinct ``terms`` appear within any

@@ -91,3 +91,22 @@ def test_spark_submit_build_and_query(tmp_path):
     for q in rr_by_q:
         ranks = sorted(int(r[1]) for r in rr_rows if r[0] == q)
         assert ranks == list(range(1, len(ranks) + 1))
+
+    # batch phrase retrieval over the positional layer (the index above
+    # was built with --positional): integer-valued occurrence scores,
+    # contiguous ranks
+    qf2 = str(tmp_path / "phrases.tsv")
+    with open(qf2, "w") as f:
+        f.write("p1\tcastle museum\np2\tuniversity research\n")
+    out3 = str(tmp_path / "run_phrase")
+    r = subprocess.run(
+        base + [os.path.join(repo, "jobs", "run_queries.py"),
+                "--index", idx, "--queries", qf2, "--out", out3,
+                "--k", "5", "--method", "phrase"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    ph_rows = read_run(out3)
+    assert ph_rows, "empty phrase run file"
+    for qid, rank, url, score in ph_rows:
+        assert qid in {"p1", "p2"} and rank.isdigit()
+        assert float(score) == int(float(score)) >= 1

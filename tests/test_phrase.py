@@ -149,3 +149,24 @@ def test_phrase_plan_broadcasts_offsets(spark):
         ptok, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_batch_matches_per_phrase(spark):
+    """phrase_occurrences_batch must equal per-phrase phrase_occurrences
+    for every query in one pass (different lengths, shared terms,
+    repeated terms)."""
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+             for _ in range(30)]
+    ptok = _ptok(spark, texts)
+    phrases = [("q1", ["a", "b"]), ("q2", ["b", "b"]),
+               ("q3", ["c", "a", "d"]), ("q4", ["a"])]
+    batch = {(r["qid"], r["doc_id"]): r["ptf"]
+             for r in phrase.phrase_occurrences_batch(
+                 ptok, phrases).collect()}
+    want = {}
+    for qid, ph in phrases:
+        for r in phrase.phrase_occurrences(ptok, ph).collect():
+            want[(qid, r["doc_id"])] = r["ptf"]
+    assert batch == want
