@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
                          "phrase/proximity queries (operators/phrase.py)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --pages")
+    ap.add_argument("--warm", action="store_true",
+                    help="run a small UNTIMED pandas-UDF pass before "
+                         "starting the build clock: freshly launched "
+                         "executor JVMs pay JIT/codegen/python-worker-fork "
+                         "inside the first timed stage otherwise, which a "
+                         "long-lived cluster's executors amortize across "
+                         "thousands of jobs (same rationale as bench.py's "
+                         "_warm_session)")
     args = ap.parse_args(argv)
 
     from modern_search_engines_spark.plans.build import build_persistent_index
@@ -69,6 +77,17 @@ def main(argv: list[str] | None = None) -> int:
         else:
             ap.error("one of --pages or --synthetic is required")
         import time
+        if args.warm:
+            from pyspark.sql import functions as F
+            from pyspark.sql.functions import pandas_udf
+
+            # lambda form: `from __future__ import annotations` turns
+            # def-style pd.Series hints into strings pandas_udf can't
+            # resolve under spark-submit
+            _noop = pandas_udf(lambda s: s, "long")
+            par = spark.sparkContext.defaultParallelism
+            (spark.range(100_000).repartition(par)
+             .select(F.sum(_noop("id"))).collect())
         t0 = time.time()
         idx = build_persistent_index(
             spark, pages, args.out, ngram_max=args.ngram_max,
