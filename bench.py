@@ -66,6 +66,7 @@ CONTRACT_BENCH = (
     "decontam_fuzzy", "quality_classifier", "bpe_pair_counts",
     "dup_line_stats",
     "phrase_match_topk", "bm25_conj_topk", "proximity_docs",
+    "crawl_frontier_bfs", "crawl_schedule",
 )
 
 

@@ -1227,6 +1227,77 @@ def q_proximity_docs(spark, sf):
         ptok, list(PROX_TERMS), PROX_WINDOW).select("doc_id")
 
 
+# crawl-frontier family (SURVEY S3/S4/P15/U4 batch re-expressions):
+# deterministic synthetic crawl state over the documents table, shared
+# verbatim by both engines — the point under test is the distributed
+# BFS / scheduling dataflow, not the state generator
+BFS_SEED_MOD = 97        # seeds: doc_id % 97 == 0
+BFS_MAX_DEPTH = 4
+FRONTIER_DOMAINS = 13    # domain = doc_id % 13
+FRONTIER_DOMAIN_CAP = 20
+CRAWL_NOW = 1_000_000    # pinned "now" (epoch-seconds-like)
+CRAWL_FRESHNESS_S = 86_400   # Crawler.py:50 DOC_UPDATE_THRESHOLD
+CRAWL_DEFAULT_DELAY = 100
+CRAWL_PURGED = (3, 7)
+CRAWL_BATCH_PER_DOMAIN = 3
+N_DOMAIN_STATE = 12      # domain 12 has no state row -> eligible path
+
+
+def q_crawl_frontier_bfs(spark, sf):
+    """Frontier discovery as level-synchronous BFS (SURVEY S4): every
+    doc reachable within 4 hops of the seed set over the deterministic
+    3-out-edge graph, at its minimum depth, then the reference's
+    150-per-domain growth cap (Crawler.py:51) as a bounded per-domain
+    rank (``operators/frontier.bfs_discover`` + ``cap_per_domain`` —
+    per round one edge join + one anti-join on seen, lineage
+    truncated; the DuckDB twin is a recursive CTE + min-depth)."""
+    from .operators import frontier
+    docs = _docs(spark, sf).select("doc_id")
+    n = docs.count()
+    seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0)
+    reach = frontier.bfs_discover(seeds, _link_edges(docs, n),
+                                  BFS_MAX_DEPTH, node_col="doc_id")
+    dom = reach.withColumn(
+        "domain", F.col("doc_id") % F.lit(FRONTIER_DOMAINS))
+    return frontier.cap_per_domain(
+        dom, FRONTIER_DOMAIN_CAP, order_cols=("depth", "doc_id")
+    ).select("doc_id", "domain", "depth")
+
+
+def q_crawl_schedule(spark, sf):
+    """The crawl scheduler's next batch (SURVEY S3 + P15 + U4
+    composed): re-crawl freshness gate (86,400 s, Crawler.py:50) →
+    purge of irrelevant domains (:222-224) → robots crawl-delay
+    politeness with ≤3 URLs per eligible domain (:183-202), over
+    deterministic synthetic crawl state derived from the documents
+    table (``operators/frontier.recrawl_due`` / ``purge_domains`` /
+    ``politeness_schedule`` — one domain-keyed dim join + one bounded
+    per-domain window)."""
+    from .operators import frontier as fr
+    docs = _docs(spark, sf).select("doc_id")
+    meta = docs.select(
+        "doc_id",
+        (F.col("doc_id") % F.lit(FRONTIER_DOMAINS)).alias("domain"),
+        ((F.col("doc_id") * F.lit(31)) % F.lit(1000)).alias("priority"),
+        (F.lit(CRAWL_NOW)
+         - (F.col("doc_id") * F.lit(104729)) % F.lit(2 * CRAWL_FRESHNESS_S)
+         ).alias("last_crawled"))
+    due = fr.recrawl_due(meta, CRAWL_NOW, CRAWL_FRESHNESS_S)
+    purged = spark.createDataFrame(
+        [(int(d),) for d in CRAWL_PURGED], "domain bigint")
+    kept = fr.purge_domains(due, purged)
+    state = spark.range(N_DOMAIN_STATE).select(
+        F.col("id").alias("domain"),
+        (F.lit(CRAWL_NOW) - F.col("id") * F.lit(23)).alias("last_crawl"),
+        F.when(F.col("id") % 2 == 0,
+               F.lit(60) + F.col("id") * F.lit(10)).alias("crawl_delay"))
+    batch = fr.politeness_schedule(
+        kept, state, CRAWL_NOW, CRAWL_DEFAULT_DELAY,
+        batch_per_domain=CRAWL_BATCH_PER_DOMAIN,
+        order_cols=("priority", "doc_id"))
+    return batch.select("doc_id", "domain", "priority")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL twins
 # ---------------------------------------------------------------------------
@@ -3022,6 +3093,69 @@ WHERE l0 IS NOT NULL AND l1 IS NOT NULL
   AND i - least(l0, l1) <= {PROX_WINDOW - 1}
 """
 
+# crawl-frontier BFS twin: recursive CTE bounded at BFS_MAX_DEPTH (the
+# UNION dedups (node, depth) rows so cycles terminate), min-depth per
+# node ≡ the anti-join BFS's first-discovery depth, then the identical
+# per-domain cap rank
+_ORACLE["crawl_frontier_bfs"] = f"""
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+    SELECT DISTINCT doc_id AS src,
+           (doc_id * {PR_EDGE_A} + k * {PR_EDGE_B})
+               % (SELECT n FROM nn) AS dst
+    FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(k)
+),
+bfs(doc_id, depth) AS (
+    SELECT doc_id, 0 FROM documents WHERE doc_id % {BFS_SEED_MOD} = 0
+    UNION
+    SELECT e.dst, b.depth + 1
+    FROM bfs b JOIN edges e ON e.src = b.doc_id
+    WHERE b.depth < {BFS_MAX_DEPTH}
+),
+md AS (SELECT doc_id, min(depth) AS depth FROM bfs GROUP BY doc_id),
+ranked AS (
+    SELECT doc_id, doc_id % {FRONTIER_DOMAINS} AS domain, depth,
+           row_number() OVER (PARTITION BY doc_id % {FRONTIER_DOMAINS}
+                              ORDER BY depth, doc_id) AS rn
+    FROM md)
+SELECT doc_id, domain, depth FROM ranked WHERE rn <= {FRONTIER_DOMAIN_CAP}
+"""
+
+_ORACLE["crawl_schedule"] = f"""
+WITH meta AS (
+    SELECT doc_id,
+           doc_id % {FRONTIER_DOMAINS} AS domain,
+           (doc_id * 31) % 1000 AS priority,
+           {CRAWL_NOW} - (doc_id * 104729) % {2 * CRAWL_FRESHNESS_S}
+               AS last_crawled
+    FROM documents
+),
+due AS (SELECT * FROM meta
+        WHERE {CRAWL_NOW} - last_crawled >= {CRAWL_FRESHNESS_S}),
+kept AS (SELECT * FROM due
+         WHERE domain NOT IN {CRAWL_PURGED}),
+state AS (
+    SELECT range AS domain,
+           {CRAWL_NOW} - range * 23 AS last_crawl,
+           CASE WHEN range % 2 = 0 THEN 60 + range * 10 END AS crawl_delay
+    FROM range({N_DOMAIN_STATE})
+),
+eligible AS (
+    SELECT k.doc_id, k.domain, k.priority
+    FROM kept k LEFT JOIN state s USING (domain)
+    WHERE s.last_crawl IS NULL
+       OR {CRAWL_NOW} - s.last_crawl
+          >= coalesce(s.crawl_delay, {CRAWL_DEFAULT_DELAY})
+),
+ranked AS (
+    SELECT doc_id, domain, priority,
+           row_number() OVER (PARTITION BY domain
+                              ORDER BY priority, doc_id) AS rn
+    FROM eligible)
+SELECT doc_id, domain, priority
+FROM ranked WHERE rn <= {CRAWL_BATCH_PER_DOMAIN}
+"""
+
 
 # ---------------------------------------------------------------------------
 # Public contract
@@ -3065,6 +3199,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match_topk": q_phrase_match_topk,
     "bm25_conj_topk": q_bm25_conj_topk,
     "proximity_docs": q_proximity_docs,
+    # round-5 additions (crawl-frontier family: SURVEY S3/S4/P15/U4
+    # batch re-expressions) — no driver row yet
+    "crawl_frontier_bfs": q_crawl_frontier_bfs,
+    "crawl_schedule": q_crawl_schedule,
     # core families (driver-green in r4)
     "tfidf_topk": q_tfidf_topk,
     "lang_counts": q_lang_counts,
