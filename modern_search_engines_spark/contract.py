@@ -3133,7 +3133,7 @@ WITH meta AS (
 due AS (SELECT * FROM meta
         WHERE {CRAWL_NOW} - last_crawled >= {CRAWL_FRESHNESS_S}),
 kept AS (SELECT * FROM due
-         WHERE domain NOT IN {CRAWL_PURGED}),
+         WHERE domain NOT IN ({', '.join(str(d) for d in CRAWL_PURGED)})),
 state AS (
     SELECT range AS domain,
            {CRAWL_NOW} - range * 23 AS last_crawl,
