@@ -38,7 +38,16 @@ mega-domain is exactly what the cap exists to bound.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def domain_expr(url_col: str = "url") -> Column:
+    """JVM-side domain of a URL: host minus a leading ``www.`` — the
+    same normalization as ``operators/indexing.domain_stats`` and the
+    reference's ``Document.get_domain`` (Document.py, urlparse netloc
+    with 'www.' stripped)."""
+    return F.regexp_replace(F.parse_url(F.col(url_col), F.lit("HOST")),
+                            r"^www\.", "")
 
 
 def bfs_discover(seeds: DataFrame, edges: DataFrame, max_depth: int,
