@@ -67,6 +67,7 @@ CONTRACT_BENCH = (
     "dup_line_stats",
     "phrase_match_topk", "bm25_conj_topk", "proximity_docs",
     "crawl_frontier_bfs", "crawl_schedule",
+    "anchor_text_terms", "bm25f_topk", "cooccur_pmi",
 )
 
 

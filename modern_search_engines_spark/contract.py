@@ -1298,6 +1298,89 @@ def q_crawl_schedule(spark, sf):
     return batch.select("doc_id", "domain", "priority")
 
 
+ANCHOR_TOKENS = 4  # anchor stand-in: first 4 tokens of the source page
+ANCHOR_TOPK = 3
+
+
+def q_anchor_text_terms(spark, sf):
+    """In-link anchor-text term aggregation (ENGINE EXTENSION — the
+    classic web-ranking external field; the reference indexes body
+    text only, DocumentIndex.py:112-151). Over the shared
+    deterministic 3-out-edge graph: each edge carries the first 4
+    tokens of its SOURCE page as anchor text; per TARGET page the
+    anchor-field tf is aggregated (one map-side-combinable shuffle —
+    power-law in-link skew arrives as per-task partials) and the top-3
+    anchor terms per target kept (``operators/anchortext.py``)."""
+    from .operators import anchortext
+    docs = _docs(spark, sf)
+    n = docs.count()
+    edges = _link_edges(docs.select("doc_id"), n)
+    links = anchortext.link_anchor_rows(edges, docs,
+                                        n_tokens=ANCHOR_TOKENS)
+    res = anchortext.anchor_terms(links, top_k=ANCHOR_TOPK)
+    return res.select("doc_id", "term", "anchor_tf", "rank")
+
+
+BM25F_W_BODY = 1.0
+BM25F_W_ANCHOR = 2.0  # anchors upweighted — the classic web prior
+BM25F_TOPK = 50
+
+
+def q_bm25f_topk(spark, sf):
+    """BM25F field-weighted top-50 (ENGINE EXTENSION — Robertson-
+    Zaragoza simple BM25F; the reference scores body text only,
+    BM25Ranker.py:18-61): body tf (weight 1) + in-link anchor-field tf
+    (weight 2) combined linearly BEFORE the k1 saturation, weighted
+    doc length in the normalizer, body-field idf. Same plan family as
+    the single-field path — broadcast query terms, (doc_id, term)- and
+    doc_id-keyed joins, one groupBy sum (``operators/bm25f.py``)."""
+    from .operators import anchortext, bm25f
+    docs = _docs(spark, sf)
+    n = docs.count()
+    tf = _tf(spark, sf).cache()
+    edges = _link_edges(docs.select("doc_id"), n)
+    atf = anchortext.anchor_terms(
+        anchortext.link_anchor_rows(edges, docs,
+                                    n_tokens=ANCHOR_TOKENS)).cache()
+    wtf = bm25f.combine_fields(
+        [(tf, BM25F_W_BODY),
+         (atf.withColumnRenamed("anchor_tf", "tf"), BM25F_W_ANCHOR)])
+    wdl = bm25f.combine_doc_lengths(
+        [(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+          BM25F_W_BODY),
+         (atf.groupBy("doc_id").agg(F.sum("anchor_tf").alias("dl")),
+          BM25F_W_ANCHOR)])
+    avg_wdl = float(wdl.agg(F.avg("wdl")).collect()[0][0])
+    idf = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .select("term", F.log(F.lit(float(n)) / F.col("df"))
+                   .alias("idf")))
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "term string")
+    scored = bm25f.score_bm25f(wtf, wdl, idf, qterms,
+                               avg_wdl=avg_wdl, k1=K1, b=B)
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")],
+                       BM25F_TOPK, key_col="doc_id").select(
+                           "doc_id", "score", "rank")
+
+
+COOCCUR_MIN_BI = 5
+COOCCUR_TOPK = 20
+
+
+def q_cooccur_pmi(spark, sf):
+    """Bigram-collocation PMI top-20 (ENGINE EXTENSION, Church-Hanks
+    collocation mining; sibling of bpe_pair_counts at word level).
+    Bigrams by zipping each doc's token array with its own 1-shifted
+    slice — map-only, no positional self-join; then two combinable
+    count shuffles and two term-keyed joins of bigrams against the
+    vocabulary table (``operators/cooccur.py``)."""
+    from .operators import cooccur
+    res = cooccur.bigram_pmi(_docs(spark, sf), min_count=COOCCUR_MIN_BI)
+    return (res.orderBy(F.desc("pmi"), "term_a", "term_b")
+            .limit(COOCCUR_TOPK)
+            .select("term_a", "term_b", "cnt", "pmi"))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL twins
 # ---------------------------------------------------------------------------
@@ -3156,6 +3239,127 @@ SELECT doc_id, domain, priority
 FROM ranked WHERE rn <= {CRAWL_BATCH_PER_DOMAIN}
 """
 
+# anchor-text twin: same edge generator as the pagerank twin; anchor =
+# first ANCHOR_TOKENS tokens of the source page (DuckDB 1-based
+# inclusive list slice ≡ Spark slice(toks, 1, n))
+_ORACLE["anchor_text_terms"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+    SELECT DISTINCT doc_id AS src,
+           (doc_id * {PR_EDGE_A} + k * {PR_EDGE_B})
+               % (SELECT n FROM nn) AS dst
+    FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(k)
+),
+anch AS (
+    SELECT e.dst, t.term
+    FROM edges e
+    JOIN documents d ON d.doc_id = e.src,
+         unnest(list_filter(string_split(d.text, ' '),
+                            x -> x <> '')[1:{ANCHOR_TOKENS}]) AS t(term)
+),
+cnt AS (SELECT dst, term, count(*) AS anchor_tf
+        FROM anch GROUP BY dst, term),
+rk AS (SELECT dst AS doc_id, term, anchor_tf,
+              row_number() OVER (PARTITION BY dst
+                                 ORDER BY anchor_tf DESC, term) AS rank
+       FROM cnt)
+SELECT doc_id, term, anchor_tf, rank FROM rk WHERE rank <= {ANCHOR_TOPK}
+"""
+
+# BM25F twin: body + anchor field tfs combined linearly BEFORE the k1
+# saturation (the defining BM25F property), weighted doc length in the
+# normalizer, body-field idf; float tree identical to
+# operators/bm25f.score_bm25f
+_ORACLE["bm25f_topk"] = f"""
+WITH {_TOK_SQL},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+    SELECT DISTINCT doc_id AS src,
+           (doc_id * {PR_EDGE_A} + k * {PR_EDGE_B})
+               % (SELECT n FROM nn) AS dst
+    FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(k)
+),
+anch AS (
+    SELECT e.dst, t.term
+    FROM edges e
+    JOIN documents d ON d.doc_id = e.src,
+         unnest(list_filter(string_split(d.text, ' '),
+                            x -> x <> '')[1:{ANCHOR_TOKENS}]) AS t(term)
+),
+atf AS (SELECT dst AS doc_id, term, count(*) AS atf
+        FROM anch GROUP BY dst, term),
+wtf AS (
+    SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+           coalesce(b.term, a.term) AS term,
+           coalesce(b.tf::DOUBLE * {BM25F_W_BODY}, 0.0)
+           + coalesce(a.atf::DOUBLE * {BM25F_W_ANCHOR}, 0.0) AS wtf
+    FROM tf b FULL JOIN atf a
+      ON a.doc_id = b.doc_id AND a.term = b.term
+),
+bdl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+adl AS (SELECT doc_id, sum(atf) AS dl FROM atf GROUP BY doc_id),
+wdl AS (
+    SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+           coalesce(b.dl::DOUBLE * {BM25F_W_BODY}, 0.0)
+           + coalesce(a.dl::DOUBLE * {BM25F_W_ANCHOR}, 0.0) AS wdl
+    FROM bdl b FULL JOIN adl a ON a.doc_id = b.doc_id
+),
+stats AS (SELECT (SELECT avg(wdl) FROM wdl) AS avg_wdl),
+idf AS (SELECT term, ln(nn.n / count(*)) AS idf
+        FROM tf, nn GROUP BY term, nn.n),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)}),
+scored AS (
+    SELECT w.doc_id,
+           round(sum(idf.idf * (w.wtf * ({K1} + 1.0))
+                     / (w.wtf + {K1} * (1.0 - {B} + {B} * d.wdl
+                                        / stats.avg_wdl))), 6) AS score
+    FROM wtf w JOIN q USING (term)
+               JOIN wdl d ON d.doc_id = w.doc_id
+               JOIN idf ON idf.term = w.term, stats
+    GROUP BY w.doc_id
+),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS rank
+           FROM scored)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= {BM25F_TOPK}
+"""
+
+# PMI twin: the float expression is the IDENTICAL IEEE tree the Spark
+# operator builds — (cnt/tot_bi) / ((ua/tot_uni)·(ub/tot_uni)), one ln,
+# round 6 — so both engines round the same double
+_ORACLE["cooccur_pmi"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+uni AS (
+    SELECT u.term AS term, count(*) AS cnt
+    FROM toks, unnest(t) AS u(term) GROUP BY u.term
+),
+bi AS (
+    SELECT list_extract(t, i) AS term_a, list_extract(t, i + 1) AS term_b,
+           count(*) AS cnt
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    GROUP BY 1, 2
+),
+tots AS (SELECT (SELECT sum(cnt) FROM uni)::DOUBLE AS tot_uni,
+                (SELECT sum(len(t) - 1) FROM toks
+                 WHERE len(t) >= 2)::DOUBLE AS tot_bi)
+SELECT term_a, term_b, bi.cnt AS cnt,
+       round(ln((bi.cnt::DOUBLE / tot_bi) /
+                ((ua.cnt::DOUBLE / tot_uni)
+                 * (ub.cnt::DOUBLE / tot_uni))), 6) AS pmi
+FROM bi
+JOIN uni ua ON ua.term = bi.term_a
+JOIN uni ub ON ub.term = bi.term_b, tots
+WHERE bi.cnt >= {COOCCUR_MIN_BI}
+ORDER BY pmi DESC, term_a, term_b
+LIMIT {COOCCUR_TOPK}
+"""
+
 
 # ---------------------------------------------------------------------------
 # Public contract
@@ -3168,7 +3372,7 @@ FROM ranked WHERE rn <= {CRAWL_BATCH_PER_DOMAIN}
 # entry with no driver-green row yet, then the rest, with the tail
 # reserved for entries already driver-green in a prior round's
 # CORRECTNESS_r{N}.json — so the UNION of per-round driver rows covers
-# every entry even when one round's budget can't. All 69 pass the
+# every entry even when one round's budget can't. All 74 pass the
 # identical local replica of the gate (tests/test_contract_oracle.py)
 # every round regardless of order.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3203,6 +3407,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # batch re-expressions) — no driver row yet
     "crawl_frontier_bfs": q_crawl_frontier_bfs,
     "crawl_schedule": q_crawl_schedule,
+    # round-5 additions (web-signal + corpus-analytics extensions) —
+    # no driver row yet
+    "anchor_text_terms": q_anchor_text_terms,
+    "bm25f_topk": q_bm25f_topk,
+    "cooccur_pmi": q_cooccur_pmi,
     # core families (driver-green in r4)
     "tfidf_topk": q_tfidf_topk,
     "lang_counts": q_lang_counts,
