@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="also commit the positional_postings stage "
                          "(bucket-partitioned body-token positions) for "
                          "phrase/proximity queries (operators/phrase.py)")
+    ap.add_argument("--anchor", action="store_true",
+                    help="also commit the anchor_field + field_norms "
+                         "stages (in-link anchor-text term field over "
+                         "the corpus' real link graph) for BM25F "
+                         "retrieval (operators/anchortext.py, "
+                         "operators/bm25f.py)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --pages")
     ap.add_argument("--warm", action="store_true",
@@ -96,7 +102,8 @@ def main(argv: list[str] | None = None) -> int:
             n_extract_chunks=args.n_extract_chunks,
             use_doc2query=args.use_doc2query,
             materialize_bm25=args.materialize_bm25,
-            positional=args.positional, verbose=True)
+            positional=args.positional, anchor=args.anchor,
+            verbose=True)
         # total build wall (excludes session/JVM startup): the number a
         # spark-submit N-vs-4N scaling comparison reads directly
         print(json.dumps({"stats": idx["stats"],

@@ -2,7 +2,7 @@
 
     spark-submit --py-files mse.zip jobs/run_queries.py \
         --index /data/index --queries queries.tsv --out run_dir \
-        [--k 100] [--method wand|bm25|tfidf|phrase]
+        [--k 100] [--method wand|bm25|tfidf|phrase|bm25f]
 
 Replicates the reference's batch runner (batch_retrieve.py:11-38): TSV
 queries ``qid\\tquery`` in, one distributed scoring pass for ALL queries,
@@ -11,6 +11,9 @@ block-max WAND path over compressed postings (rank-identical to bm25).
 ``--method phrase`` treats each query as one exact phrase and scores by
 occurrence count over the positional layer (requires an index built
 with ``--positional``) — one bucket-pruned pass for all phrases.
+``--method bm25f`` scores body + in-link anchor-text fields combined
+before the k1 saturation (requires an index built with ``--anchor``;
+an extension method, operators/bm25f.py).
 
 ``--rerank-diversity D`` applies the reference's MMR diversification
 before writing (batch_retrieve.py:33 calls rank_documents with
@@ -48,7 +51,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", required=True, help="run-file output dir")
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--method", default="wand",
-                    choices=("wand", "bm25", "tfidf", "phrase"))
+                    choices=("wand", "bm25", "tfidf", "phrase", "bm25f"))
+    ap.add_argument("--anchor-weight", type=float, default=2.0,
+                    help="BM25F anchor-field weight (body weight is 1)")
     ap.add_argument("--rerank-diversity", type=float, default=None,
                     help="MMR diversity in [0,1]; reference batch run "
                          "uses 0.1 (relevance_importance=0.9)")
@@ -88,6 +93,16 @@ def main(argv: list[str] | None = None) -> int:
                 hits.select("qid", "doc_id",
                             F.col("ptf").cast("double").alias("score")),
                 args.k)
+        elif args.method == "bm25f":
+            # body + in-link anchor-text fields combined before the k1
+            # saturation (operators/bm25f.py) — an extension method
+            if idx.get("anchor_field") is None:
+                raise SystemExit("--method bm25f needs an index built "
+                                 "with --anchor")
+            from modern_search_engines_spark.operators import bm25f
+            results = bm25f.run_bm25f_batch(
+                spark, queries, idx, k=args.k,
+                w_anchor=args.anchor_weight)
         else:
             if args.method == "tfidf":
                 idx["tfidf"] = indexing.build_tfidf(idx["tf"],

@@ -317,6 +317,32 @@ def extract_page(url: str, html: str) -> dict:
     }
 
 
+def extract_anchor_pairs(url: str, html: str) -> list[tuple[str, str]]:
+    """(absolute_href, anchor_text) per ``<a href>`` OCCURRENCE.
+
+    Same href absolutization/validity rules as ``extract_page``'s
+    ``links`` (Document.py:207-219 semantics), but for the anchor-text
+    field (operators/anchortext.py — an engine extension, no reference
+    counterpart) each occurrence is kept: two links to the same target
+    are two anchor votes, so no set-dedup; document order preserved.
+    Anchor text is the link's stripped visible text (space-joined like
+    the ``<main>`` text path)."""
+    root = parse_html(html)
+    out: list[tuple[str, str]] = []
+    for a in root.find_all("a"):
+        href = a.attrs.get("href")
+        if href is None:
+            continue
+        if is_external(href) and is_valid_url(href):
+            absu = href
+        else:
+            absu = urljoin(get_base_url(url), href)
+            if not is_valid_url(absu):
+                continue
+        out.append((absu, " ".join(a.stripped_strings())))
+    return out
+
+
 def extracted_text(html: str) -> str:
     """Text-only fast path (same semantics as extract_page()['text'])."""
     root = parse_html(html)

@@ -26,8 +26,92 @@ Spark shape (the part that matters at 10^12 docs):
 """
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ANCHOR_PAIRS_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("href", T.StringType()),
+    T.StructField("anchor", T.StringType()),
+]))
+
+
+def make_anchor_pairs_udf():
+    """Arrow-batched (url, html) → array<struct<href, anchor>> — one
+    ``<a href>`` occurrence per element (``htmlx.extract_anchor_pairs``
+    rules; duplicates kept, each occurrence is one anchor vote)."""
+    from .. import htmlx
+
+    @F.pandas_udf(ANCHOR_PAIRS_SCHEMA)
+    def anchor_pairs_udf(url: pd.Series, html: pd.Series) -> pd.Series:
+        out = []
+        for u, h in zip(url, html):
+            if isinstance(h, (bytes, bytearray)):
+                h = bytes(h).decode("utf-8", errors="replace")
+            out.append(htmlx.extract_anchor_pairs(u, h or ""))
+        return pd.Series(out)
+
+    return anchor_pairs_udf
+
+
+def build_anchor_field(pages: DataFrame, indexed_ids: DataFrame,
+                       ngram_max: int = 3,
+                       n_buckets: int = 64) -> DataFrame:
+    """The production anchor-field build stage: crawled pages →
+    (doc_id, term, anchor_tf, bucket) over the corpus' REAL link graph.
+
+    Pipeline (every step's scale shape):
+    * anchor-pair extraction is one Arrow-batched pass over the same
+      fetchable pages the extraction stage reads (html is consumed in
+      the map stage, never carried);
+    * target id = md5(href) — the SAME id function as the extraction
+      stage's md5(url) (P10), so resolving an edge to its target needs
+      NO url-dimension join, just an inner join against the indexed
+      doc-id set (drops links to uncrawled/rejected pages; doc_id-keyed
+      and co-partitionable with every other per-doc table);
+    * self-links are dropped (a page's own anchor is body text, not an
+      external signal);
+    * anchor text is tokenized with the INDEX tokenizer
+      (``textlib.tokenize`` 1..ngram_max) so the anchor field lives in
+      the same term space as tf/postings and joins by term;
+    * the (doc_id, term) count is one map-side-combinable shuffle
+      (power-law in-link skew arrives as per-task partials);
+    * ``bucket`` = pmod(xxhash64(term), n_buckets) — the postings
+      tables' partition key, so anchor scans prune to query-term
+      buckets exactly like the scoring postings.
+    """
+    from ..functions import udfs
+
+    pairs_udf = make_anchor_pairs_udf()
+    tok_udf = udfs.make_tokenize_udf(ngram_max)
+    edges = (pages.select("url", pairs_udf("url", "html").alias("ps"))
+             .select("url", F.explode("ps").alias("p"))
+             .filter(F.col("p.href") != F.col("url"))
+             .select(F.md5(F.encode(F.col("p.href"), "UTF-8"))
+                     .alias("doc_id"),
+                     F.col("p.anchor").alias("anchor")))
+    hits = edges.join(indexed_ids.select("doc_id"), "doc_id")
+    return (hits
+            .select("doc_id", F.explode(tok_udf("anchor")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("anchor_tf"))
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("term"), F.lit(n_buckets))))
+
+
+def build_field_norms(tf: DataFrame, anchor_field: DataFrame) -> DataFrame:
+    """(doc_id, doc_len, anchor_len) — the per-doc length table BM25F's
+    normalizer reads at query time (candidate-keyed join instead of a
+    corpus-wide aggregate per batch). ``doc_len`` is the body's
+    full-multiset length (quirk A7); ``anchor_len`` likewise over the
+    anchor field, 0 for docs with no in-links (left join)."""
+    body = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    anch = anchor_field.groupBy("doc_id").agg(
+        F.sum("anchor_tf").alias("anchor_len"))
+    return (body.join(anch, "doc_id", "left")
+            .select("doc_id", "doc_len",
+                    F.coalesce("anchor_len", F.lit(0)).alias("anchor_len")))
 
 
 def link_anchor_rows(edges: DataFrame, docs: DataFrame, *,

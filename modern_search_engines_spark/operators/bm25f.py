@@ -89,3 +89,72 @@ def score_bm25f(wtf: DataFrame, wdl: DataFrame, idf: DataFrame,
             .join(idf, "term")
             .groupBy("doc_id")
             .agg(F.round(F.sum(F.col("idf") * sat), 6).alias("score")))
+
+
+def run_bm25f_batch(spark, queries: list[tuple[str, str]], index: dict,
+                    k: int = 100, w_body: float = 1.0,
+                    w_anchor: float = 2.0, k1: float = K1_DEFAULT,
+                    b: float = B_DEFAULT,
+                    n_buckets: int | None = None) -> DataFrame:
+    """Batch BM25F retrieval over a built index with an anchor field
+    (``build_persistent_index(anchor=True)``): body tf (stage ``tf``) +
+    anchor tf (stage ``anchor_field``) combined before saturation,
+    per-doc weighted lengths from the ``field_norms`` stage, body idf
+    from ``term_stats``. Returns (qid, rank, doc_id, score) like
+    ``query.run_batch`` — an EXTENSION method: scores are pure BM25F,
+    not the reference's field/recency-multiplied production score.
+
+    Plan shape: query terms broadcast to both field scans (the anchor
+    scan partition-prunes to the query terms' buckets; the body tf
+    table is term-filtered post-scan — at 10^12 docs the tf stage
+    would be written bucket-partitioned too, same key), field combine
+    as a union + one (qid, doc_id, term) groupBy (one shuffle, no
+    null-key full-outer gymnastics), then doc_id-keyed norms join and
+    the same per-(qid, doc) sum as the single-field path. avg_wdl is
+    one tiny aggregate over field_norms (all indexed docs)."""
+    from . import query as q
+
+    rows = q.query_term_rows(queries)
+    terms = spark.createDataFrame(
+        rows, "qid string, term string, qtf long, w double")
+    anchor = index["anchor_field"]
+    if n_buckets is None:
+        n_buckets = int(index["stats"].get("n_buckets", 64))
+    anchor = q.prune_postings(anchor, terms, n_buckets,
+                              term_list=[r[1] for r in rows])
+    norms = index["field_norms"]
+    avg_wdl = float(norms.select(
+        F.avg(F.col("doc_len").cast("double") * F.lit(float(w_body))
+              + F.col("anchor_len").cast("double")
+              * F.lit(float(w_anchor))).alias("a")).collect()[0][0])
+    body_part = (index["tf"].join(F.broadcast(terms), "term")
+                 .select("qid", "term", "doc_id", "qtf", "w",
+                         (F.col("tf").cast("double")
+                          * F.lit(float(w_body))).alias("part")))
+    anchor_part = (anchor.join(F.broadcast(terms), "term")
+                   .select("qid", "term", "doc_id", "qtf", "w",
+                           (F.col("anchor_tf").cast("double")
+                            * F.lit(float(w_anchor))).alias("part")))
+    wtf = (body_part.unionByName(anchor_part)
+           .groupBy("qid", "doc_id", "term")
+           .agg(F.sum("part").alias("wtf"),
+                F.max("qtf").alias("qtf"), F.max("w").alias("w")))
+    wdl = norms.select(
+        "doc_id",
+        (F.col("doc_len").cast("double") * F.lit(float(w_body))
+         + F.col("anchor_len").cast("double")
+         * F.lit(float(w_anchor))).alias("wdl"))
+    idf = index["term_stats"].select("term", "idf")
+    sat = (F.col("wtf") * F.lit(k1 + 1.0)
+           / (F.col("wtf") + F.lit(k1)
+              * (F.lit(1.0 - b) + F.lit(b) * F.col("wdl")
+                 / F.lit(avg_wdl))))
+    scored = (wtf.join(wdl, "doc_id")
+              .join(F.broadcast(idf.join(
+                  terms.select("term").distinct(), "term")), "term")
+              .groupBy("qid", "doc_id")
+              .agg(F.sum(F.col("qtf").cast("double") * F.col("w")
+                         * F.col("idf") * sat).alias("score")))
+    return (q.topk(scored, k)
+            .select("qid", "rank", "doc_id", "score")
+            .orderBy("qid", "rank"))

@@ -19,6 +19,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import indexing, postings
+from ..sources import tables
 from ..sources.tables import StageWriter
 
 STATS_FILE = "corpus_stats.json"
@@ -35,6 +36,7 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
                            use_doc2query: bool = False,
                            materialize_bm25: bool = True,
                            positional: bool = False,
+                           anchor: bool = False,
                            verbose: bool = True) -> dict:
     """Run (or resume) the full staged build; returns handles + stats.
 
@@ -131,6 +133,29 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
             # a stale positional table from a prior positional build
             # must not survive a non-positional rebuild via load_index
             sw.drop_stage("positional_postings")
+        f_anchor = None
+        if anchor:
+            # opt-in anchor-text field (BM25F retrieval —
+            # operators/anchortext.py): re-reads the fetchable pages
+            # (anchors live in the raw html the extraction stage
+            # consumed) and inner-joins md5(href) targets against the
+            # indexed doc-id set. Depends only on `extracted`, shares
+            # the phase-A pool. Bucketed by the SAME term-hash key as
+            # the scoring postings so BM25F scans dir-prune.
+            from ..operators import anchortext
+            f_anchor = pool.submit(
+                sw.write_stage,
+                anchortext.build_anchor_field(
+                    indexing.filter_fetchable(pages),
+                    indexed_raw.select("doc_id"), ngram_max, n_buckets),
+                "anchor_field", inputs=("extracted",),
+                partition_by=["bucket"], sort_within=["term", "doc_id"],
+                params={"n_buckets": n_buckets,
+                        "ngram_max": ngram_max})
+        else:
+            # stale anchor tables must not survive a non-anchor rebuild
+            sw.drop_stage("anchor_field")
+            sw.drop_stage("field_norms")
         # docs sorted by doc_id within partitions (no shuffle): parquet
         # min/max stats then give tight per-row-group id ranges, which
         # the hot serving tier's bounded doc-id lookup prunes on
@@ -149,6 +174,18 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         docs = f_docs.result()
         tf = f_tf.result()
         positional_tbl = f_pos.result() if f_pos is not None else None
+        anchor_tbl = f_anchor.result() if f_anchor is not None else None
+
+    field_norms_tbl = None
+    if anchor:
+        # per-doc (body, anchor) lengths for BM25F's normalizer —
+        # derived from the COMMITTED tf + anchor_field tables so a
+        # resume that skipped both stages skips this one too
+        from ..operators import anchortext
+        field_norms_tbl = sw.write_stage(
+            anchortext.build_field_norms(tf, anchor_tbl),
+            "field_norms", inputs=("tf", "anchor_field"),
+            sort_within=["doc_id"])
 
     # term_stats is a deterministic derivation of tf, so the bm25 stage
     # consumes its own inline term-stats plan (identical result) and the
@@ -225,6 +262,8 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         "postings_compressed": compressed,
         "doc_dim": doc_dim,
         "positional_postings": positional_tbl,
+        "anchor_field": anchor_tbl,
+        "field_norms": field_norms_tbl,
         "writer": sw,
     }
 
@@ -272,5 +311,16 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
         "positional_postings": (
             rd("positional_postings")
             if os.path.exists(os.path.join(out_dir, "positional_postings"))
+            else None),
+        # read_stage_parquet: a zero-row anchor field (no in-corpus
+        # links) is a legal committed stage with no data files
+        "anchor_field": (
+            tables.read_stage_parquet(
+                spark, os.path.join(out_dir, "anchor_field"))
+            if os.path.exists(os.path.join(out_dir, "anchor_field"))
+            else None),
+        "field_norms": (
+            rd("field_norms")
+            if os.path.exists(os.path.join(out_dir, "field_norms"))
             else None),
     }

@@ -28,6 +28,27 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 MANIFEST = "_MANIFEST.json"
 
 
+def read_stage_parquet(spark, stage_dir: str):
+    """Read a committed stage dir, tolerating the ZERO-ROW partitioned
+    case: a dir-partitioned parquet write of an empty frame emits no
+    data files at all (only the manifest), so plain ``read.parquet``
+    dies with UNABLE_TO_INFER_SCHEMA. Legitimate at small corpora —
+    e.g. an anchor_field stage over a crawl with no in-corpus links —
+    so fall back to an empty DataFrame reconstructed from the
+    manifest's recorded schema (the same string the resume check
+    validates against)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    mpath = os.path.join(stage_dir, MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            m = json.load(f)
+        if m.get("rows") == 0 and m.get("partition_by"):
+            return spark.createDataFrame(
+                [], _parse_datatype_string(m["schema"]))
+    return spark.read.parquet(stage_dir)
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _, files in os.walk(path):
@@ -166,7 +187,7 @@ class StageWriter:
             if layout == "iceberg":
                 return self.spark.read.table(
                     f"{self.iceberg_table_prefix}.{name}")
-            return self.spark.read.parquet(final)
+            return read_stage_parquet(self.spark, final)
 
         if layout == "iceberg":
             obs = Observation(f"{name}-{uuid.uuid4().hex[:8]}")
@@ -232,7 +253,7 @@ class StageWriter:
         if self.verbose:
             print(f"[stage {name}] {rows} rows, {m['bytes']} bytes, "
                   f"{elapsed:.1f}s")
-        return self.spark.read.parquet(final)
+        return read_stage_parquet(self.spark, final)
 
     def write_stage_chunked(self, input_df: DataFrame, transform,
                             name: str, n_chunks: int, key_col: str = "url",

@@ -35,7 +35,8 @@ def test_spark_submit_build_and_query(tmp_path):
 
     r = subprocess.run(
         base + [os.path.join(repo, "jobs", "build_index.py"),
-                "--synthetic", "40", "--out", idx, "--positional"],
+                "--synthetic", "40", "--out", idx, "--positional",
+                "--anchor"],
         capture_output=True, text=True, timeout=420, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(os.path.join(idx, "postings_compressed"))
@@ -43,6 +44,9 @@ def test_spark_submit_build_and_query(tmp_path):
     pos = os.path.join(idx, "positional_postings")
     assert os.path.exists(pos)
     assert any(d.startswith("bucket=") for d in os.listdir(pos))
+    # --anchor commits the anchor-text field + norms stages
+    assert os.path.exists(os.path.join(idx, "anchor_field"))
+    assert os.path.exists(os.path.join(idx, "field_norms"))
 
     qf = str(tmp_path / "queries.tsv")
     with open(qf, "w") as f:
@@ -110,3 +114,23 @@ def test_spark_submit_build_and_query(tmp_path):
     for qid, rank, url, score in ph_rows:
         assert qid in {"p1", "p2"} and rank.isdigit()
         assert float(score) == int(float(score)) >= 1
+
+    # BM25F over the anchor field (the index above was built with
+    # --anchor): contiguous ranks, parseable scores. Semantic parity
+    # vs a pure-python twin is covered in tests/test_anchor_build.py —
+    # this drives the job surface end-to-end
+    out4 = str(tmp_path / "run_bm25f")
+    r = subprocess.run(
+        base + [os.path.join(repo, "jobs", "run_queries.py"),
+                "--index", idx, "--queries", qf, "--out", out4,
+                "--k", "10", "--method", "bm25f"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    bf_rows = read_run(out4)
+    assert bf_rows, "empty bm25f run file"
+    for qid, rank, url, score in bf_rows:
+        assert qid in {"q1", "q2"} and rank.isdigit()
+        float(score)
+    for q in {r[0] for r in bf_rows}:
+        ranks = sorted(int(r[1]) for r in bf_rows if r[0] == q)
+        assert ranks == list(range(1, len(ranks) + 1))
