@@ -24,6 +24,10 @@ array, scored by phrase occurrence count — an EXTENSION endpoint (no
 reference counterpart; its index is position-free). 400 when the
 service doesn't support it or the index lacks the positional layer.
 
+``retrieval_method: "bm25f"`` on /search is likewise an EXTENSION
+value (body + in-link anchor-text fields): 400 when the index was
+built without ``anchor=True`` or the service can't run it.
+
 The Spark session lives in the long-running server process exactly as
 the reference keeps its unpickled index in the Django worker: queries
 are driver-coordinated jobs, only top-k rows are collected. For
@@ -70,7 +74,10 @@ def make_wsgi_app(service) -> Callable[[dict, Callable], Iterable[bytes]]:
         query = data.get("query", "")
         top_k = int(data.get("top_k", 20))
         method = str(data.get("retrieval_method", "bm25")).lower()
-        if method not in ("bm25", "tfidf"):
+        # bm25|tfidf = the reference's set (views.py:41-48); bm25f is an
+        # EXTENSION value — a service without the anchor field (or the
+        # hot tier) raises ValueError, which the app maps to 400
+        if method not in ("bm25", "tfidf", "bm25f"):
             return 400, {"error": "Retrieval method not supported"}
         diversity = (float(data.get("diversity", 0))
                      if "diversity" in data else None)

@@ -104,6 +104,23 @@ class SearchService:
         top = qmod.topk(scored, top_k)
         return self._results(top.select("doc_id", "score"))
 
+    def _search_bm25f(self, q: str, top_k: int) -> list[dict]:
+        """BM25F over the anchor field — an engine EXTENSION (the
+        reference scores body text only, BM25Ranker.py:18-61). Requires
+        an index built with ``anchor=True``; the anchor scan is
+        partition-pruned to the query terms' buckets
+        (operators/bm25f.run_bm25f_batch)."""
+        if self.idx.get("anchor_field") is None:
+            raise ValueError(
+                "bm25f needs an index built with anchor=True "
+                "(build_persistent_index(..., anchor=True) or "
+                "jobs/build_index.py --anchor)")
+        from ..operators import bm25f
+        ranked = bm25f.run_bm25f_batch(
+            self.spark, [("q", q)], self.idx, k=top_k,
+            n_buckets=self.n_buckets)
+        return self._results(ranked.select("doc_id", "score"))
+
     def phrase_search(self, phrase: str, top_k: int = 20) -> list[dict]:
         """Exact-phrase retrieval over the positional layer — an engine
         EXTENSION (the reference's position-free index,
@@ -147,6 +164,10 @@ class SearchService:
             docs = self._search_bm25(query, top_k)
         elif method == "tfidf":
             docs = self._search_tfidf(query, top_k)
+        elif method == "bm25f":
+            # extension method (not in views.py's bm25|tfidf set):
+            # body + in-link anchor-text fields, anchor-built index only
+            docs = self._search_bm25f(query, top_k)
         else:
             raise ValueError(
                 f"Retrieval method not supported: {retrieval_method}")

@@ -24,7 +24,7 @@ def idx_dir(spark, tmp_path_factory):
     pages = corpus.pages_df(spark, N, seed=SEED,
                             num_partitions=2).drop("text", "lang")
     build_persistent_index(spark, pages, out, verbose=False,
-                           positional=True)
+                           positional=True, anchor=True)
     return out
 
 
@@ -67,6 +67,23 @@ def test_search_tfidf_and_service_parity(base_url, spark):
     assert status == 200 and docs
     assert all(d["score"] >= d2["score"]
                for d, d2 in zip(docs, docs[1:]))
+
+
+def test_search_bm25f_extension_method(base_url, spark, idx_dir):
+    """retrieval_method=bm25f (extension value): field-weighted scoring
+    over the anchor-built index, HTTP answer == direct service call."""
+    status, docs = _post(f"{base_url}/search", {
+        "query": "castle museum", "top_k": 5,
+        "retrieval_method": "bm25f"})
+    assert status == 200 and isinstance(docs, list) and docs
+    assert set(docs[0]) == {"url", "url_hash", "title", "description",
+                            "icon_url", "score"}
+    scores = [d["score"] for d in docs]
+    assert scores == sorted(scores, reverse=True)
+    direct = SearchService(spark, idx_dir).search(
+        "castle museum", top_k=5, retrieval_method="bm25f")
+    assert [(d["url_hash"], d["score"]) for d in docs] == \
+        [(d["url_hash"], d["score"]) for d in direct]
 
 
 def test_search_diversity_key_triggers_rerank(base_url):

@@ -52,6 +52,13 @@ def test_search_unknown_method(service):
         service.search("castle", retrieval_method="bleu")
 
 
+def test_search_bm25f_requires_anchor_index(service):
+    # the fixture index is built WITHOUT anchor=True: the bm25f
+    # extension method must refuse loudly, not silently score body-only
+    with pytest.raises(ValueError, match="anchor=True"):
+        service.search("castle museum", retrieval_method="bm25f")
+
+
 def test_search_with_diversity_reranks(service):
     plain = service.search("castle museum university", top_k=8)
     diverse = service.search("castle museum university", top_k=8,
