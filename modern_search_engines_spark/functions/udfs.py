@@ -38,6 +38,10 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("text_emphasis", T.MapType(T.StringType(),
                                              T.ArrayType(T.StringType()))),
     T.StructField("links", T.ArrayType(T.StringType())),
+    T.StructField("anchor_pairs", T.ArrayType(T.StructType([
+        T.StructField("href", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ]))),
     T.StructField("text", T.StringType()),
     T.StructField("single_tokens", T.ArrayType(T.StringType())),
     T.StructField("language", T.StringType()),
@@ -71,6 +75,8 @@ def extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
             "headings": ex["headings"],
             "text_emphasis": ex["text_emphasis"],
             "links": ex["links"],
+            "anchor_pairs": [{"href": h, "anchor": a}
+                             for h, a in ex["anchor_pairs"]],
             "text": ex["text"],
             "single_tokens": single,
             "language": lang,
@@ -193,6 +199,13 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("text_emphasis", T.MapType(T.StringType(),
                                                  T.ArrayType(T.StringType()))),
         T.StructField("links", T.ArrayType(T.StringType())),
+        # per-occurrence (href, anchor text) — collected in the SAME
+        # html parse as everything else so the anchor-field stage is a
+        # column read, never a second parse of the corpus' html
+        T.StructField("anchor_pairs", T.ArrayType(T.StructType([
+            T.StructField("href", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]))),
         T.StructField("text", T.StringType()),
         T.StructField("single_tokens", T.ArrayType(T.StringType())),
         T.StructField("language", T.StringType()),
@@ -248,6 +261,8 @@ def extract_document(url: str, html: str, ngram_max: int = 3) -> dict:
         "headings": ex["headings"],
         "text_emphasis": ex["text_emphasis"],
         "links": ex["links"],
+        "anchor_pairs": [{"href": h, "anchor": a}
+                         for h, a in ex["anchor_pairs"]],
         "text": ex["text"],
         "single_tokens": single,
         "language": lang,

@@ -281,18 +281,12 @@ def extract_page(url: str, html: str) -> dict:
         for group, tags in _EMPHASIS_GROUPS.items()
     }
 
-    # links (Document.py:207-219) — set semantics; sorted for determinism
-    hrefs: set[str] = set()
-    for a in by_tag.get("a", ()):
-        href = a.attrs.get("href")
-        if href is None:
-            continue
-        if is_external(href) and is_valid_url(href):
-            hrefs.add(href)
-        else:
-            joined = urljoin(get_base_url(url), href)
-            if is_valid_url(joined):
-                hrefs.add(joined)
+    # links (Document.py:207-219) — set semantics; sorted for
+    # determinism. anchor_pairs (extension, same absolutization rules)
+    # keeps per-OCCURRENCE (href, anchor text) in document order, so
+    # the anchor-field stage never parses the html a second time
+    anchor_pairs = _anchor_pairs(by_tag.get("a", ()), url)
+    hrefs = {h for h, _ in anchor_pairs}
 
     # boilerplate strip + text (Document.py:80-90)
     root.decompose_tags(("script", "style", "link", "meta"))
@@ -313,23 +307,19 @@ def extract_page(url: str, html: str) -> dict:
         "headings": headings,
         "text_emphasis": text_emphasis,
         "links": sorted(hrefs),
+        "anchor_pairs": anchor_pairs,
         "text": text,
     }
 
 
-def extract_anchor_pairs(url: str, html: str) -> list[tuple[str, str]]:
-    """(absolute_href, anchor_text) per ``<a href>`` OCCURRENCE.
-
-    Same href absolutization/validity rules as ``extract_page``'s
-    ``links`` (Document.py:207-219 semantics), but for the anchor-text
-    field (operators/anchortext.py — an engine extension, no reference
-    counterpart) each occurrence is kept: two links to the same target
-    are two anchor votes, so no set-dedup; document order preserved.
-    Anchor text is the link's stripped visible text (space-joined like
-    the ``<main>`` text path)."""
-    root = parse_html(html)
+def _anchor_pairs(a_nodes, url: str) -> list[tuple[str, str]]:
+    """Shared ``<a href>`` walk: per-occurrence (absolute_href, anchor
+    text) with the links list's absolutization/validity rules
+    (Document.py:207-219). ``extract_page``'s ``links`` is exactly the
+    sorted href set of these pairs, so both outputs stay consistent by
+    construction."""
     out: list[tuple[str, str]] = []
-    for a in root.find_all("a"):
+    for a in a_nodes:
         href = a.attrs.get("href")
         if href is None:
             continue
@@ -341,6 +331,18 @@ def extract_anchor_pairs(url: str, html: str) -> list[tuple[str, str]]:
                 continue
         out.append((absu, " ".join(a.stripped_strings())))
     return out
+
+
+def extract_anchor_pairs(url: str, html: str) -> list[tuple[str, str]]:
+    """(absolute_href, anchor_text) per ``<a href>`` OCCURRENCE.
+
+    Standalone parse for ad-hoc use; the build pipeline reads the same
+    pairs from ``extract_page()['anchor_pairs']`` (one parse per page).
+    Each occurrence is kept: two links to the same target are two
+    anchor votes, so no set-dedup; document order preserved. Anchor
+    text is the link's stripped visible text (space-joined like the
+    ``<main>`` text path)."""
+    return _anchor_pairs(parse_html(html).find_all("a"), url)
 
 
 def extracted_text(html: str) -> str:

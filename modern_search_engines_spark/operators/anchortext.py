@@ -81,11 +81,35 @@ def build_anchor_field(pages: DataFrame, indexed_ids: DataFrame,
       tables' partition key, so anchor scans prune to query-term
       buckets exactly like the scoring postings.
     """
+    pairs_udf = make_anchor_pairs_udf()
+    pairs = pages.select("url", pairs_udf("url", "html").alias("ps"))
+    return _aggregate_anchor_terms(pairs, indexed_ids, ngram_max,
+                                   n_buckets)
+
+
+def build_anchor_field_from_extracted(extracted: DataFrame,
+                                      indexed_ids: DataFrame,
+                                      ngram_max: int = 3,
+                                      n_buckets: int = 64) -> DataFrame:
+    """Same stage, fed from the extraction stage's ``anchor_pairs``
+    column instead of re-parsing html: at 10^12 docs the html parse is
+    the pipeline's dominant CPU, and the pairs were already collected
+    in the extraction pass (htmlx.extract_page) — this path is a
+    column read plus the aggregation, zero extra parses. The build
+    plan uses this whenever the committed extraction stage carries the
+    column (always, since it joined EXTRACTED_SCHEMA)."""
+    pairs = extracted.select("url", F.col("anchor_pairs").alias("ps"))
+    return _aggregate_anchor_terms(pairs, indexed_ids, ngram_max,
+                                   n_buckets)
+
+
+def _aggregate_anchor_terms(pairs: DataFrame, indexed_ids: DataFrame,
+                            ngram_max: int, n_buckets: int) -> DataFrame:
+    """(url, ps: array<struct<href, anchor>>) → the anchor_field table."""
     from ..functions import udfs
 
-    pairs_udf = make_anchor_pairs_udf()
     tok_udf = udfs.make_tokenize_udf(ngram_max)
-    edges = (pages.select("url", pairs_udf("url", "html").alias("ps"))
+    edges = (pairs
              .select("url", F.explode("ps").alias("p"))
              .filter(F.col("p.href") != F.col("url"))
              .select(F.md5(F.encode(F.col("p.href"), "UTF-8"))

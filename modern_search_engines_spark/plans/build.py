@@ -136,18 +136,19 @@ def build_persistent_index(spark: SparkSession, pages: DataFrame,
         f_anchor = None
         if anchor:
             # opt-in anchor-text field (BM25F retrieval —
-            # operators/anchortext.py): re-reads the fetchable pages
-            # (anchors live in the raw html the extraction stage
-            # consumed) and inner-joins md5(href) targets against the
-            # indexed doc-id set. Depends only on `extracted`, shares
-            # the phase-A pool. Bucketed by the SAME term-hash key as
-            # the scoring postings so BM25F scans dir-prune.
+            # operators/anchortext.py): reads the extraction stage's
+            # anchor_pairs column (collected in the SAME html parse as
+            # the text — never a second parse of the corpus) and
+            # inner-joins md5(href) targets against the indexed doc-id
+            # set. Depends only on `extracted`, shares the phase-A
+            # pool. Bucketed by the SAME term-hash key as the scoring
+            # postings so BM25F scans dir-prune.
             from ..operators import anchortext
             f_anchor = pool.submit(
                 sw.write_stage,
-                anchortext.build_anchor_field(
-                    indexing.filter_fetchable(pages),
-                    indexed_raw.select("doc_id"), ngram_max, n_buckets),
+                anchortext.build_anchor_field_from_extracted(
+                    extracted, indexed_raw.select("doc_id"),
+                    ngram_max, n_buckets),
                 "anchor_field", inputs=("extracted",),
                 partition_by=["bucket"], sort_within=["term", "doc_id"],
                 params={"n_buckets": n_buckets,

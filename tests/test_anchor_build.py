@@ -57,6 +57,19 @@ def _expected_anchor_counts(rows, indexed_ids):
     return counts, lens
 
 
+def test_extract_page_anchor_pairs_consistent_with_standalone():
+    # extract_page collects anchor_pairs in its single parse (the
+    # build's fused path); the standalone helper must never drift —
+    # and links must stay exactly the sorted href set of the pairs
+    html = ('<html><body><a href="/x.html">go <b>here</b></a>'
+            '<a href="http://c.example/y.html">y</a>'
+            '<a href="/x.html">go here</a><a>none</a></body></html>')
+    url = "http://b.example/p.html"
+    ex = htmlx.extract_page(url, html)
+    assert ex["anchor_pairs"] == htmlx.extract_anchor_pairs(url, html)
+    assert ex["links"] == sorted({h for h, _ in ex["anchor_pairs"]})
+
+
 def test_empty_partitioned_stage_roundtrip(spark, tmp_path):
     # a corpus with no in-corpus links commits a ZERO-ROW bucket-
     # partitioned anchor stage: no data files on disk, only the
