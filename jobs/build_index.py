@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
                          "the corpus' real link graph) for BM25F "
                          "retrieval (operators/anchortext.py, "
                          "operators/bm25f.py)")
+    ap.add_argument("--bucket-tf", action="store_true",
+                    help="write the tf stage partitioned by term-hash "
+                         "bucket so raw-tf query paths (bm25f, tfidf) "
+                         "dir-prune to their terms' buckets — the "
+                         "10^12-doc layout; costs one extra shuffle "
+                         "at build")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --pages")
     ap.add_argument("--warm", action="store_true",
@@ -103,7 +109,7 @@ def main(argv: list[str] | None = None) -> int:
             use_doc2query=args.use_doc2query,
             materialize_bm25=args.materialize_bm25,
             positional=args.positional, anchor=args.anchor,
-            verbose=True)
+            bucket_tf=args.bucket_tf, verbose=True)
         # total build wall (excludes session/JVM startup): the number a
         # spark-submit N-vs-4N scaling comparison reads directly
         print(json.dumps({"stats": idx["stats"],

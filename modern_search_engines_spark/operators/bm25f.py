@@ -127,7 +127,16 @@ def run_bm25f_batch(spark, queries: list[tuple[str, str]], index: dict,
         F.avg(F.col("doc_len").cast("double") * F.lit(float(w_body))
               + F.col("anchor_len").cast("double")
               * F.lit(float(w_anchor))).alias("a")).collect()[0][0])
-    body_part = (index["tf"].join(F.broadcast(terms), "term")
+    body_tf = index["tf"]
+    if "bucket" in body_tf.columns:
+        # bucket-partitioned tf layout (build's bucket_tf=True): the
+        # body scan dir-prunes to the query terms' buckets like the
+        # anchor/postings scans — at 10^12 docs this is the difference
+        # between touching |query-term buckets| directories and full-
+        # scanning the index's biggest table per batch
+        body_tf = q.prune_postings(body_tf, terms, n_buckets,
+                                   term_list=[r[1] for r in rows])
+    body_part = (body_tf.join(F.broadcast(terms), "term")
                  .select("qid", "term", "doc_id", "qtf", "w",
                          (F.col("tf").cast("double")
                           * F.lit(float(w_body))).alias("part")))

@@ -175,6 +175,43 @@ def test_run_bm25f_batch_matches_python_twin(spark, anchor_index):
         assert [r for r, _, _ in mine] == list(range(1, len(mine) + 1))
 
 
+def test_bucket_tf_layout_is_result_identical(spark, tmp_path):
+    """bucket_tf=True (the 10^12-doc tf layout): tf stage is written
+    dir-partitioned by term-hash bucket so raw-tf query paths prune —
+    and every answer must be bit-identical to the flat layout."""
+    import os
+
+    from modern_search_engines_spark.operators import query as qmod
+
+    pages = corpus.pages_df(spark, 120, seed=7)
+    idxs = {}
+    for tag, bucket_tf in (("flat", False), ("bucketed", True)):
+        out = str(tmp_path / tag)
+        build_persistent_index(spark, pages, out, verbose=False,
+                               anchor=True, bucket_tf=bucket_tf,
+                               materialize_bm25=True)
+        idxs[tag] = load_index(spark, out)
+    tf_dir = str(tmp_path / "bucketed" / "tf")
+    assert any(d.startswith("bucket=") for d in os.listdir(tf_dir))
+    assert "bucket" in idxs["bucketed"]["tf"].columns
+
+    queries = [("q1", "castle museum"), ("q2", "internal travel")]
+    for name, run in (
+        ("bm25", lambda idx: qmod.run_batch(
+            spark, queries, idx, k=20, method="bm25")),
+        ("bm25f", lambda idx: bm25f.run_bm25f_batch(
+            spark, queries, idx, k=20)),
+    ):
+        a = [tuple(r) for r in run(idxs["flat"]).collect()]
+        b = [tuple(r) for r in run(idxs["bucketed"]).collect()]
+        assert a == b, f"{name} diverged between tf layouts"
+        assert a, f"{name} returned no rows"
+    # tf consumers (term_stats) unaffected by the extra bucket column
+    a = sorted(tuple(r) for r in idxs["flat"]["term_stats"].collect())
+    b = sorted(tuple(r) for r in idxs["bucketed"]["term_stats"].collect())
+    assert a == b
+
+
 def test_anchor_scoring_changes_ranking_vs_body_only(spark, anchor_index):
     # "internal" is the synthetic corpus' in-corpus anchor text: with
     # the anchor field active its targets must outscore a body-only
